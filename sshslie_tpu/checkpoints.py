@@ -1,0 +1,87 @@
+"""Checkpoint save/restore: params + optimizer state + epoch.
+
+Functional parity with reference model.py:595-607 / main.py:196-212:
+
+  * periodic ``model_epoch_{N}`` plus a rolling ``model_epoch_latest``
+    (reference model.py:330-331) in the reference's directory layout
+    ``checkpoint/<model_name>/Decomposition_<timestamp>/``;
+  * restore brings back model *and* optimizer state for bit-exact resume;
+  * warm-start accepts either a full checkpoint or a bare params file
+    (the two formats of reference main.py:200-205).
+
+Format: a single msgpack file written via ``flax.serialization`` — a flat,
+dependency-light container that restores onto a target pytree, fast enough for
+this model (<1 MB of params). Writes go through a temp file + atomic rename so
+a crash never leaves a torn "latest".
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+CKPT_SUFFIX = ".ckpt"
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, params: Any, opt_state: Any, epoch: int) -> str:
+    """Serialize {epoch, params, opt_state} to ``path`` (atomic)."""
+    if not path.endswith(CKPT_SUFFIX):
+        path += CKPT_SUFFIX
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "epoch": np.asarray(epoch, dtype=np.int64),
+        "params": _to_host(serialization.to_state_dict(params)),
+        "opt_state": _to_host(serialization.to_state_dict(opt_state)),
+    }
+    blob = serialization.msgpack_serialize(payload)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(blob)
+    os.replace(tmp, path)
+    print(f"Checkpoint saved at {path}")
+    return path
+
+
+def load_checkpoint(
+    path: str, params_template: Any, opt_state_template: Any
+) -> Tuple[Any, Any, int]:
+    """Restore (params, opt_state, epoch) onto the given templates."""
+    if not path.endswith(CKPT_SUFFIX) and os.path.exists(path + CKPT_SUFFIX):
+        path += CKPT_SUFFIX
+    with open(path, "rb") as fh:
+        raw = serialization.msgpack_restore(fh.read())
+    params = serialization.from_state_dict(params_template, raw["params"])
+    opt_state = serialization.from_state_dict(opt_state_template, raw["opt_state"])
+    epoch = int(np.asarray(raw["epoch"]))
+    print(f"Loaded checkpoint from {path}")
+    return params, opt_state, epoch
+
+
+def load_pretrained_params(path: str, params_template: Any) -> Tuple[Any, Optional[int]]:
+    """Warm-start load accepting a full checkpoint or a bare params file
+    (reference main.py:200-205). Returns (params, epoch-or-None)."""
+    if not path.endswith(CKPT_SUFFIX) and os.path.exists(path + CKPT_SUFFIX):
+        path += CKPT_SUFFIX
+    with open(path, "rb") as fh:
+        raw = serialization.msgpack_restore(fh.read())
+    if isinstance(raw, dict) and "params" in raw:
+        params = serialization.from_state_dict(params_template, raw["params"])
+        epoch = int(np.asarray(raw["epoch"])) if "epoch" in raw else None
+        return params, epoch
+    return serialization.from_state_dict(params_template, raw), None
+
+
+def latest_path(ckpt_dir: str) -> str:
+    return os.path.join(ckpt_dir, "model_epoch_latest" + CKPT_SUFFIX)
+
+
+def epoch_path(ckpt_dir: str, epoch: int) -> str:
+    return os.path.join(ckpt_dir, f"model_epoch_{epoch}" + CKPT_SUFFIX)

@@ -1,0 +1,200 @@
+"""Config / flag system.
+
+Mirrors the reference's three-level precedence CLI > YAML > hardcoded defaults
+(reference main.py:16-90) with the same 28 key names, plus TPU-native additions
+(precision, mesh shape, pallas toggles). Derived run names / directories follow
+the reference layout (main.py:76-88) so downstream tooling finds artifacts in
+the same places.
+
+Deliberate fixes over the reference (SURVEY.md §2.4):
+  * ``test_timestamp`` is a config/CLI field instead of a constant edited in
+    code (reference main.py:80).
+  * ``mat_key_prediction`` makes the eval-readback key explicit instead of the
+    hardcoded ``'ref'`` that crashes mid-training eval (reference model.py:395).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from datetime import datetime
+from typing import Any, Optional
+
+import yaml
+
+
+@dataclasses.dataclass
+class Config:
+    """All run configuration. Field names match the reference YAML keys."""
+
+    # --- reference keys (main.py:17-55), same names & defaults ---
+    use_gpu: int = 1                      # kept for YAML compat; ignored (JAX picks the TPU)
+    seed_value: int = 41
+    gpu_idx: str = "0"                    # kept for YAML compat; ignored
+    gpu_mem: float = 0.8                  # kept for YAML compat; ignored
+    decom: int = 0
+    mat_key: str = "data"
+    channels: Optional[int] = 64
+    global_min: float = 0.0
+    global_max: float = 1.0
+    normalization: str = "global_normalization"
+    batch_size: int = 1
+    patch_size: int = 128
+    start_lr: float = 0.001
+    lr_update_factor: float = 1.0
+    lr_update_period: int = 400
+    train_data: str = "./data/train/low"
+    eval_data: str = "./data/eval/low"
+    test_data: str = "./data/test/low"
+    label_dir: str = "./data/test/high"
+    phase: str = "train_and_test"
+    epoch: int = 400
+    eval_every_epoch: int = 200
+    plot_every_epoch: int = 200
+    c_loss_reconstruction: float = 10.0
+    c_loss_r_fidelity: float = 1.0
+    c_loss_i_smooth_low: float = 1.0
+    c_loss_i_smooth_delta: float = 20.0
+    c_loss_fourier: float = 0.2
+    c_loss_spectral_cons: float = 1.0
+    alpha_i_smooth_low: float = 1.0
+    alpha_i_smooth_delta: float = 10.0
+    save_reflectance: bool = False
+    save_illumination: bool = False
+    save_i_delta: bool = False
+    model_name: str = "no_name_model"
+    pretrained_model: str = ""
+    freeze_decom_epochs: int = 0
+
+    # --- new framework keys (TPU-native; no reference counterpart) ---
+    test_timestamp: str = ""              # timestamp of the checkpoint to test (replaces main.py:80)
+    mat_key_prediction: str = "data"      # key used when reading predictions back for metrics
+    precision: str = "float32"            # 'float32' | 'bfloat16' compute dtype for the nets
+    attention_impl: str = "auto"          # 'auto' | 'xla' | 'pallas' | 'chunked'
+    mesh_shape: str = ""                  # e.g. '8' or '4x2'; '' = all local devices, 1-D data mesh
+    data_axis: str = "data"               # mesh axis name for batch sharding
+    prefetch_batches: int = 2             # host-side pipeline depth
+    log_every_step: int = 0               # 0 = per-epoch logging only (avoid device→host syncs)
+    checkpoint_keep: int = 0              # 0 = keep all periodic checkpoints
+    use_mlflow: bool = True               # no-op shim if mlflow isn't installed
+    jit_cache_dir: str = ""               # persistent XLA compilation cache ('' = disabled)
+    profile_dir: str = ""                 # write a jax.profiler trace here when set
+    eval_pad_multiple: int = 1            # >1: edge-pad H,W to a multiple for bucketed jit shapes
+
+    # --- derived (filled by finalize(); do not set in YAML) ---
+    timestamp: str = ""
+    full_model_name: str = ""
+    model_ckpt_dir: str = ""
+    eval_result_dir: str = ""
+    test_result_dir: str = ""
+    test_model_dir: str = ""
+    log_file_path: str = ""
+    config_path: str = ""
+
+    def finalize(self, now: Optional[datetime] = None) -> "Config":
+        """Derive run names and directories (reference main.py:76-88)."""
+        now = now or datetime.now()
+        if not self.timestamp:
+            self.timestamp = f"{now:%Y%m%d_%H%M%S}"
+        postfix = ""
+        if self.phase == "test":
+            postfix = "_test_" + self.timestamp
+            # Reference hardcodes the train-run timestamp in code (main.py:80);
+            # here it is the test_timestamp config field.
+            if self.test_timestamp:
+                self.timestamp = self.test_timestamp
+        self.full_model_name = f"{self.model_name}_{self.timestamp}{postfix}"
+        self.model_ckpt_dir = os.path.join(".", "checkpoint", self.model_name)
+        self.eval_result_dir = os.path.join(".", "results", "eval_results_" + self.full_model_name)
+        self.test_result_dir = os.path.join(".", "results", "test_results_" + self.full_model_name)
+        self.test_model_dir = os.path.join(
+            ".", "checkpoint", self.model_name, "Decomposition_" + self.timestamp
+        )
+        self.log_file_path = os.path.join(".", "logs", self.full_model_name + ".log")
+        return self
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+_DERIVED_FIELDS = {
+    "timestamp", "full_model_name", "model_ckpt_dir", "eval_result_dir",
+    "test_result_dir", "test_model_dir", "log_file_path", "config_path",
+}
+
+
+def _coerce(value: str, target_type: type) -> Any:
+    """Parse a CLI string into the dataclass field's type."""
+    if target_type is bool:
+        return value.lower() in ("1", "true", "yes", "y", "on")
+    if target_type is int:
+        return int(value)
+    if target_type is float:
+        return float(value)
+    return value
+
+
+def load_config(
+    yaml_path: Optional[str] = None,
+    overrides: Optional[dict[str, Any]] = None,
+    finalize: bool = True,
+) -> Config:
+    """Build a Config with precedence overrides (CLI) > YAML > defaults.
+
+    Matches reference main.py:70-74. Unknown YAML keys raise — the reference
+    silently ignored them, which hides typos.
+    """
+    cfg = Config()
+    known = {f.name for f in dataclasses.fields(Config)}
+    if yaml_path:
+        with open(yaml_path, "r") as fh:
+            data = yaml.safe_load(fh) or {}
+        for key, val in data.items():
+            if key not in known:
+                raise KeyError(f"Unknown config key in {yaml_path}: {key!r}")
+            if key in _DERIVED_FIELDS:
+                raise KeyError(f"Config key {key!r} is derived and cannot be set in YAML")
+            setattr(cfg, key, val)
+        cfg.config_path = yaml_path
+    for key, val in (overrides or {}).items():
+        if val is None:
+            continue
+        if key not in known:
+            raise KeyError(f"Unknown config override: {key!r}")
+        setattr(cfg, key, val)
+    if finalize:
+        cfg.finalize()
+    return cfg
+
+
+def parse_args(argv: Optional[list[str]] = None) -> Config:
+    """CLI entry: ``main.py --config config/*.yml [--key val ...]``.
+
+    Same surface as reference main.py:57-64 — every config key is exposed as a
+    typed ``--key`` flag whose presence overrides the YAML.
+    """
+    parser = argparse.ArgumentParser(
+        description="TPU-native SS-HSLIE: parse config from YAML and command line."
+    )
+    parser.add_argument("--config", type=str, default="./config/config.yml")
+    defaults = Config()
+    field_types: dict[str, type] = {}
+    for field in dataclasses.fields(Config):
+        if field.name in _DERIVED_FIELDS:
+            continue
+        default_val = getattr(defaults, field.name)
+        # Infer type from the default value (reference main.py:62); None → int
+        # (only `channels` defaults that way). bool flags parse as strings.
+        ftype = int if default_val is None else type(default_val)
+        parser.add_argument(f"--{field.name}", type=str, default=None)
+        field_types[field.name] = ftype
+    args = parser.parse_args(argv)
+
+    overrides: dict[str, Any] = {}
+    for name, ftype in field_types.items():
+        val = getattr(args, name)
+        if val is None:
+            continue
+        overrides[name] = _coerce(val, ftype)
+    return load_config(args.config, overrides)

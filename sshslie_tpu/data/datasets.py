@@ -1,0 +1,187 @@
+"""Input pipeline: in-RAM HSI cube store, seeded patch sampler, device prefetch.
+
+The reference loads every cube into RAM up front (model.py:241-251), then per
+batch crops a random patch_size² window and applies one of 8 augmentation modes
+using the *global* numpy RNG (model.py:300-310). We keep the in-RAM store (HSI
+datasets are a handful of ~512²×64 cubes — tens of MB) but:
+
+  * sampling uses an explicit ``np.random.Generator`` so runs are reproducible
+    regardless of call order (SURVEY.md §2.4.10);
+  * batches are staged to the device asynchronously by a background thread, so
+    host-side cropping overlaps with TPU compute (the reference crops
+    synchronously inside the step loop);
+  * with a mesh, batches are placed with a batch-axis NamedSharding so each
+    data-parallel shard receives only its slice.
+
+Reference batch semantics preserved: ``num_batches = len(cubes) // batch_size``
+per epoch (drops the remainder, model.py:253) and cubes are indexed cyclically
+``(batch_id*B + i) % len(cubes)`` (model.py:304).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from glob import glob
+from typing import Iterator, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from sshslie_tpu.utils.augment import data_augmentation
+from sshslie_tpu.utils.io_hsi import load_hsi
+
+
+class CubeStore:
+    """All cubes of a directory loaded to RAM as float32 (H, W, C) arrays."""
+
+    def __init__(
+        self,
+        data_path: str,
+        mat_key: str = "data",
+        normalization: Optional[str] = "global_normalization",
+        global_min: Optional[float] = None,
+        global_max: Optional[float] = None,
+        pattern: str = "*.mat",
+    ):
+        self.files: List[str] = sorted(glob(os.path.join(data_path, pattern)))
+        self.cubes: List[np.ndarray] = [
+            load_hsi(
+                f,
+                mat_key=mat_key,
+                normalization=normalization,
+                max_val=global_max,
+                min_val=global_min,
+            )
+            for f in self.files
+        ]
+
+    def __len__(self) -> int:
+        return len(self.cubes)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        return self.cubes[idx]
+
+    @property
+    def channels(self) -> int:
+        if not self.cubes:
+            raise ValueError("empty cube store")
+        return self.cubes[0].shape[-1]
+
+    def basenames(self) -> List[str]:
+        return [os.path.basename(f) for f in self.files]
+
+
+class PatchSampler:
+    """Random crop + 8-mode augmentation batches from a CubeStore.
+
+    Yields (B, patch, patch, C) float32 batches with the reference's epoch
+    arithmetic. The RNG is an owned ``np.random.Generator`` seeded from the
+    run seed, so shuffling other host code does not perturb the sample stream.
+    """
+
+    def __init__(
+        self,
+        store: CubeStore,
+        batch_size: int,
+        patch_size: int,
+        seed: int = 41,
+    ):
+        if len(store) == 0:
+            raise ValueError("PatchSampler needs a non-empty CubeStore")
+        self.store = store
+        self.batch_size = batch_size
+        self.patch_size = patch_size
+        self.rng = np.random.default_rng(seed)
+        for i, cube in enumerate(store.cubes):
+            h, w, _ = cube.shape
+            if h < patch_size or w < patch_size:
+                raise ValueError(
+                    f"cube {store.files[i]} ({h}×{w}) is smaller than "
+                    f"patch_size={patch_size}"
+                )
+
+    @property
+    def num_batches(self) -> int:
+        """Batches per epoch — drops the remainder (reference model.py:253)."""
+        return len(self.store) // self.batch_size
+
+    def sample_batch(self, batch_id: int = 0) -> np.ndarray:
+        b, p = self.batch_size, self.patch_size
+        out = np.empty((b, p, p, self.store.channels), dtype=np.float32)
+        n = len(self.store)
+        for i in range(b):
+            cube = self.store[(batch_id * b + i) % n]
+            h, w, _ = cube.shape
+            # randint high is exclusive in Generator; reference's
+            # np.random.randint(0, h - p) never reaches h - p either.
+            x = int(self.rng.integers(0, max(h - p, 1)))
+            y = int(self.rng.integers(0, max(w - p, 1)))
+            mode = int(self.rng.integers(0, 8))
+            out[i] = data_augmentation(cube[x : x + p, y : y + p, :], mode)
+        return out
+
+    def epoch(self) -> Iterator[np.ndarray]:
+        for batch_id in range(self.num_batches):
+            yield self.sample_batch(batch_id)
+
+
+class Prefetcher:
+    """Background-thread pipeline staging host batches onto the device.
+
+    ``sharding`` (a ``jax.sharding.Sharding``) controls placement; with a
+    batch-axis NamedSharding over a data mesh each device receives its slice.
+    Depth 2 is enough to hide host crop latency behind the TPU step.
+    """
+
+    _DONE = object()
+
+    def __init__(self, iterator, sharding=None, depth: int = 2):
+        self._queue: queue.Queue = queue.Queue(maxsize=max(depth, 1))
+        self._sharding = sharding
+        self._err: Optional[BaseException] = None
+
+        def worker():
+            try:
+                for batch in iterator:
+                    if self._sharding is not None:
+                        batch = jax.device_put(batch, self._sharding)
+                    else:
+                        batch = jax.device_put(batch)
+                    self._queue.put(batch)
+            except BaseException as e:  # surface in consumer thread
+                self._err = e
+            finally:
+                self._queue.put(self._DONE)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is self._DONE:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+def load_cubes(
+    data_path: str,
+    mat_key: str = "data",
+    normalization: Optional[str] = "global_normalization",
+    global_min: Optional[float] = None,
+    global_max: Optional[float] = None,
+) -> CubeStore:
+    """Convenience wrapper mirroring the reference's train/eval/test loads."""
+    return CubeStore(
+        data_path,
+        mat_key=mat_key,
+        normalization=normalization,
+        global_min=global_min,
+        global_max=global_max,
+    )

@@ -1,0 +1,163 @@
+"""Full-cube inference, mid-training evaluation, and the test phase.
+
+Replaces reference evaluate_model/test_model (model.py:343-443):
+
+  * inference is a jitted whole-cube forward; JAX's jit cache buckets by shape,
+    so a dataset of same-sized cubes compiles once;
+  * denormalization S·(max−min)+min matches model.py:371-372;
+  * the eval readback key is configurable and defaults to 'data' — fixing the
+    reference's 'ref'-vs-'data' key mismatch that crashes mid-training eval
+    (model.py:375 vs :395, SURVEY.md §2.4.2);
+  * per-image wall time and the dataset average are reported like
+    model.py:417-420,442-443, with a block_until_ready so the timing is the
+    device time, not dispatch time.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sshslie_tpu import checkpoints
+from sshslie_tpu import metrics as metrics_mod
+from sshslie_tpu.config import Config
+from sshslie_tpu.data.datasets import CubeStore
+from sshslie_tpu.models.enhance import LowLightEnhanceNet
+from sshslie_tpu.utils.io_hsi import save_hsi
+
+
+class Inferencer:
+    """Jitted (R_low, I_low, I_delta, S) forward over (H, W, C) host cubes."""
+
+    def __init__(self, model: LowLightEnhanceNet, pad_multiple: int = 1):
+        self.model = model
+        self.pad_multiple = max(int(pad_multiple), 1)
+        self._fn = jax.jit(lambda params, x: model.apply({"params": params}, x))
+
+    def __call__(self, params: Any, cube: np.ndarray):
+        h, w, _ = cube.shape
+        m = self.pad_multiple
+        ph = (m - h % m) % m
+        pw = (m - w % m) % m
+        x = jnp.asarray(cube)[None, ...]
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+        R, I, Id, S = self._fn(params, x)
+        if ph or pw:
+            R, I, Id, S = (t[:, :h, :w, :] for t in (R, I, Id, S))
+        return R[0], I[0], Id[0], S[0]
+
+
+def _save_outputs(
+    cfg: Config,
+    out_dir: str,
+    filename: str,
+    S: np.ndarray,
+    R: np.ndarray,
+    I: np.ndarray,
+    I_delta: np.ndarray,
+    save_reflectance: bool,
+    save_illumination: bool,
+    save_i_delta: bool,
+) -> None:
+    """Denormalize + persist S and optional artifacts (model.py:371-388)."""
+    if cfg.global_min is not None and cfg.global_max is not None:
+        S = S * (cfg.global_max - cfg.global_min) + cfg.global_min
+    save_hsi(os.path.join(out_dir, filename), S, key=cfg.mat_key_prediction)
+    artifact_dir = os.path.join(out_dir, "artifacts")
+    stem = filename.split(".")[0]
+    if save_reflectance:
+        save_hsi(os.path.join(artifact_dir, stem + "_R_low.mat"), R)
+    if save_illumination:
+        save_hsi(os.path.join(artifact_dir, stem + "_I_low.mat"), I)
+    if save_i_delta:
+        save_hsi(os.path.join(artifact_dir, stem + "_I_delta.mat"), I_delta)
+
+
+def evaluate_model(
+    trainer,
+    eval_store: CubeStore,
+    eval_result_dir: str,
+    epoch: int,
+    label_dir: Optional[str],
+) -> Optional[Dict[str, float]]:
+    """Mid-training evaluation (reference model.py:343-404).
+
+    Saves enhanced cubes to ``eval_result_dir/epoch_{N}/`` and returns the
+    average PSNR/SSIM/SAM vs ``label_dir`` (None when no GT is available).
+    """
+    if len(eval_store) == 0:
+        print(f"--- No files found for evaluation. Skipping evaluation for epoch {epoch} ---")
+        return None
+    print(f"--- Running evaluation for epoch {epoch} ---")
+    cfg = trainer.cfg
+    epoch_dir = os.path.join(eval_result_dir, f"epoch_{epoch}")
+    os.makedirs(epoch_dir, exist_ok=True)
+    infer = Inferencer(trainer.model, cfg.eval_pad_multiple)
+    for idx, cube in enumerate(eval_store.cubes):
+        filename = os.path.basename(eval_store.files[idx])
+        R, I, Id, S = infer(trainer.state.params, cube)
+        _save_outputs(
+            cfg, epoch_dir, filename,
+            np.asarray(S), np.asarray(R), np.asarray(I), np.asarray(Id),
+            cfg.save_reflectance, cfg.save_illumination, cfg.save_i_delta,
+        )
+    scores = None
+    if label_dir:
+        try:
+            avg_psnr, avg_ssim, avg_sam = metrics_mod.calc_metrics(
+                im_dir=os.path.normpath(os.path.join(epoch_dir, "*.mat")),
+                label_dir=os.path.normpath(label_dir),
+                data_min=None,
+                data_max=cfg.global_max,
+                mat_key_prediction=cfg.mat_key_prediction,
+                mat_key_gt=cfg.mat_key,
+            )
+            scores = {"psnr": avg_psnr, "ssim": avg_ssim, "sam": avg_sam}
+        except ValueError as e:
+            # No prediction/GT pair — keep training (the reference dies here).
+            print(f"--- Eval metrics skipped for epoch {epoch}: {e} ---")
+    print(f"--- Evaluation for epoch {epoch} finished. Results saved to {epoch_dir} ---")
+    return scores
+
+
+def test_model(
+    trainer,
+    model_dir: str,
+    test_store: CubeStore,
+    save_dir: str,
+) -> float:
+    """Test phase: load latest checkpoint, timed full-cube inference, save
+    outputs (reference model.py:406-443). Returns average seconds/image."""
+    cfg = trainer.cfg
+    params, opt_state, _epoch = checkpoints.load_checkpoint(
+        checkpoints.latest_path(model_dir), trainer.state.params, trainer.state.opt_state
+    )
+    trainer.state = trainer.state.replace(params=params, opt_state=opt_state)
+    os.makedirs(save_dir, exist_ok=True)
+    infer = Inferencer(trainer.model, cfg.eval_pad_multiple)
+    total_run_time = 0.0
+    for idx, cube in enumerate(test_store.cubes):
+        filename = os.path.basename(test_store.files[idx])
+        print(f"Processing {filename}")
+        start = time.time()
+        R, I, Id, S = infer(trainer.state.params, cube)
+        jax.block_until_ready(S)
+        run_time = time.time() - start
+        total_run_time += run_time
+        _save_outputs(
+            cfg, save_dir, filename,
+            np.asarray(S), np.asarray(R), np.asarray(I), np.asarray(Id),
+            cfg.save_reflectance, cfg.save_illumination, cfg.save_i_delta,
+        )
+        print(f"Processed {filename} in {run_time:.4f} seconds.")
+    n = len(test_store.cubes)
+    avg = total_run_time / n if n else 0.0
+    print(f"Average run time: {avg:.4f} seconds.")
+    return avg

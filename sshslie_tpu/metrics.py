@@ -1,0 +1,289 @@
+"""PSNR / SSIM / SAM in JAX, with torchmetrics-equivalent semantics.
+
+The reference evaluates with torchmetrics.functional.image (reference
+metrics.py:4,13-34) and the numbers the paper reports depend on two torchmetrics
+details we reproduce exactly:
+
+  * ``ssim`` is called on an (H, W, C) cube expanded to (1, H, W, C) and fed
+    straight into ``structural_similarity_index_measure`` (reference
+    metrics.py:16-19) — torchmetrics interprets that as (N, C, H, W), i.e. the
+    cube's *height* acts as the channel axis and the Gaussian window slides
+    over the (W, C) plane. Quirky, but it is what the reference reports, so
+    :func:`ssim` keeps that orientation; :func:`ssim_spatial` offers the
+    conventional one.
+  * torchmetrics SSIM uses an 11×11 Gaussian window (σ=1.5), computes local
+    stats by valid convolution (reflect-pad + crop ≡ valid on the original),
+    and means over the interior map; ``k1=0.01, k2=0.03``.
+
+PSNR is computed over the whole tensor (single mse), data_range either a scalar
+or a (min, max) clamp pair — matching torchmetrics'
+``peak_signal_noise_ratio``. SAM is the per-pixel spectral angle in radians,
+mean-reduced, matching ``spectral_angle_mapper``.
+
+Everything is jitted and runs on-device; :func:`calc_metrics` is the directory
+walker with the same pairing-by-basename contract as reference
+metrics.py:101-141 (with the Windows-only path split fixed, SURVEY.md §2.4.3).
+"""
+
+from __future__ import annotations
+
+import functools
+import glob as _glob
+import os
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sshslie_tpu.utils.io_hsi import load_hsi
+
+DataRange = Union[None, float, Tuple[float, float]]
+
+
+def _apply_range(pred: jnp.ndarray, target: jnp.ndarray, data_range: DataRange):
+    """Resolve torchmetrics data_range semantics → (pred, target, range)."""
+    if data_range is None:
+        rng = jnp.maximum(jnp.max(target), jnp.max(pred)) - jnp.minimum(
+            jnp.min(target), jnp.min(pred)
+        )
+        return pred, target, rng
+    if isinstance(data_range, (tuple, list)):
+        lo, hi = data_range
+        pred = jnp.clip(pred, lo, hi)
+        target = jnp.clip(target, lo, hi)
+        return pred, target, hi - lo
+    return pred, target, jnp.asarray(data_range, dtype=pred.dtype)
+
+
+def psnr(pred: jnp.ndarray, target: jnp.ndarray, data_range: DataRange = None) -> jnp.ndarray:
+    """10·log10(range²/mse) over the whole tensor (torchmetrics semantics)."""
+    pred = jnp.asarray(pred, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    pred, target, rng = _apply_range(pred, target, data_range)
+    mse = jnp.mean((pred - target) ** 2)
+    return 10.0 * jnp.log10(rng**2 / mse)
+
+
+def _gaussian_kernel1d(size: int, sigma: float) -> jnp.ndarray:
+    coords = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(coords**2) / (2.0 * sigma**2))
+    return g / jnp.sum(g)
+
+
+def _ssim_map(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    data_range: jnp.ndarray,
+    kernel_size: int = 11,
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> jnp.ndarray:
+    """Local SSIM map via separable Gaussian valid-convolution.
+
+    x, y: (N, H, W) single-"channel" planes. Returns (N, H-k+1, W-k+1).
+    """
+    g = _gaussian_kernel1d(kernel_size, sigma)
+
+    def blur(t):
+        # Separable valid conv: rows then cols, batched over N.
+        t = t[:, None, :, :]  # (N, 1, H, W)
+        kh = g.reshape(1, 1, kernel_size, 1)
+        kw = g.reshape(1, 1, 1, kernel_size)
+        t = jax.lax.conv_general_dilated(t, kh, (1, 1), "VALID",
+                                         dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        t = jax.lax.conv_general_dilated(t, kw, (1, 1), "VALID",
+                                         dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        return t[:, 0]
+
+    mu_x = blur(x)
+    mu_y = blur(y)
+    mu_xx = blur(x * x)
+    mu_yy = blur(y * y)
+    mu_xy = blur(x * y)
+    sigma_x = mu_xx - mu_x**2
+    sigma_y = mu_yy - mu_y**2
+    sigma_xy = mu_xy - mu_x * mu_y
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    upper = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
+    lower = (mu_x**2 + mu_y**2 + c1) * (sigma_x + sigma_y + c2)
+    return upper / lower
+
+
+def _ssim_nchw(
+    pred: jnp.ndarray, target: jnp.ndarray, data_range: DataRange
+) -> jnp.ndarray:
+    """SSIM of (N, C, H, W) tensors, torchmetrics reduction (mean over all)."""
+    pred = jnp.asarray(pred, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    pred, target, rng = _apply_range(pred, target, data_range)
+    n, c, h, w = pred.shape
+    # torchmetrics errors when the window exceeds the image; we shrink it to
+    # the largest odd size that fits so tiny cubes still get a score.
+    k = min(11, h, w)
+    if k % 2 == 0:
+        k -= 1
+    maps = _ssim_map(pred.reshape(n * c, h, w), target.reshape(n * c, h, w), rng,
+                     kernel_size=k)
+    # torchmetrics means each image over channels+positions, then over batch.
+    return jnp.mean(maps)
+
+
+def ssim(pred: jnp.ndarray, target: jnp.ndarray, data_range: DataRange = None) -> jnp.ndarray:
+    """Reference-orientation SSIM of (H, W, C) cubes.
+
+    Reproduces reference metrics.py:16-19: the cube is unsqueezed to
+    (1, H, W, C) and treated as NCHW, so H is the channel axis and the window
+    convolves the (W, C) plane.
+    """
+    return _ssim_nchw(pred[None, ...], target[None, ...], data_range)
+
+
+def ssim_spatial(
+    pred: jnp.ndarray, target: jnp.ndarray, data_range: DataRange = None
+) -> jnp.ndarray:
+    """Conventional SSIM: bands as channels, window over (H, W)."""
+    return _ssim_nchw(
+        jnp.transpose(pred, (2, 0, 1))[None, ...],
+        jnp.transpose(target, (2, 0, 1))[None, ...],
+        data_range,
+    )
+
+
+def sam(
+    pred: jnp.ndarray, target: jnp.ndarray, reduction: str = "elementwise_mean"
+) -> jnp.ndarray:
+    """Spectral angle mapper over (H, W, C) cubes, radians.
+
+    Matches torchmetrics ``spectral_angle_mapper`` on the reference's
+    (1, C, H, W) layout (reference metrics.py:31-34).
+    """
+    pred = jnp.asarray(pred, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    dot = jnp.sum(pred * target, axis=-1)
+    denom = jnp.linalg.norm(pred, axis=-1) * jnp.linalg.norm(target, axis=-1)
+    angle = jnp.arccos(jnp.clip(dot / denom, -1.0, 1.0))
+    if reduction == "elementwise_mean":
+        return jnp.mean(angle)
+    if reduction == "sum":
+        return jnp.sum(angle)
+    return angle  # 'none'
+
+
+def psnr_bandwise(
+    pred: jnp.ndarray, target: jnp.ndarray, data_range: DataRange = None
+) -> jnp.ndarray:
+    """Per-band PSNR vector (C,) — reference single_img_bandwise_metrics psnr
+    (metrics.py:53-54), vectorized on device instead of a per-band loop."""
+    pred = jnp.asarray(pred, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    pred, target, rng = _apply_range(pred, target, data_range)
+    mse = jnp.mean((pred - target) ** 2, axis=(0, 1))
+    return 10.0 * jnp.log10(rng**2 / mse)
+
+
+def ssim_bandwise(
+    pred: jnp.ndarray, target: jnp.ndarray, data_range: DataRange = None
+) -> jnp.ndarray:
+    """Per-band SSIM vector (C,) over the (H, W) plane per band.
+
+    Matches reference ssim_bandwise (metrics.py:26-29): each band is
+    (1, 1, H, W) to torchmetrics, i.e. a true spatial SSIM per band.
+    """
+    pred = jnp.asarray(pred, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    pred, target, rng = _apply_range(pred, target, data_range)
+    p = jnp.transpose(pred, (2, 0, 1))
+    t = jnp.transpose(target, (2, 0, 1))
+    k = min(11, p.shape[1], p.shape[2])
+    if k % 2 == 0:
+        k -= 1
+    maps = _ssim_map(p, t, rng, kernel_size=k)
+    return jnp.mean(maps, axis=(1, 2))
+
+
+def calc_metrics(
+    im_dir: str,
+    label_dir: str,
+    data_min: Optional[float] = None,
+    data_max: Optional[float] = None,
+    mat_key_prediction: str = "data",
+    mat_key_gt: str = "data",
+    verbose: bool = True,
+):
+    """Average PSNR/SSIM/SAM over every ``.mat`` pair (reference metrics.py:101-141).
+
+    ``im_dir`` is a glob (e.g. ``results/.../*.mat``); predictions pair with
+    ground truth by basename inside ``label_dir``.
+    """
+    data_range: DataRange = None
+    if data_min is not None and data_max is not None:
+        data_range = (data_min, data_max)
+    elif data_max is not None:
+        data_range = data_max
+
+    total = np.zeros(3, dtype=np.float64)
+    n = 0
+    for item in sorted(_glob.glob(im_dir)):
+        if not item.endswith(".mat"):
+            continue
+        name = os.path.basename(item)
+        label_path = os.path.join(label_dir, name)
+        if not os.path.exists(label_path):
+            # The reference crashes here (metrics.py:112 loadmat on a missing
+            # pair); skipping keeps mid-training eval alive on partial GT.
+            print(f"===> {name} | no ground truth in {label_dir}, skipping")
+            continue
+        im1 = jnp.asarray(load_hsi(item, mat_key=mat_key_prediction))
+        im2 = jnp.asarray(load_hsi(label_path, mat_key=mat_key_gt))
+        score_psnr = float(psnr(im1, im2, data_range))
+        score_ssim = float(ssim(im1, im2, data_range))
+        score_sam = float(sam(im1, im2))
+        if verbose:
+            print(f"\n===> {name} | PSNR : {score_psnr:.4f}")
+            print(f"===> {name} | SSIM : {score_ssim:.4f}")
+            print(f"===> {name} | SAM  : {score_sam:.4f}")
+        total += (score_psnr, score_ssim, score_sam)
+        n += 1
+    if n <= 0:
+        raise ValueError("Number of files must be greater than 0")
+    avg = total / n
+    return float(avg[0]), float(avg[1]), float(avg[2])
+
+
+def multi_img_bandwise_metrics(
+    preds_path: str,
+    labels_path: str,
+    data_min: Optional[float] = None,
+    data_max: Optional[float] = None,
+    mat_key_prediction: str = "data",
+    mat_key_gt: str = "data",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Dataset-average per-band PSNR/SSIM vectors (reference metrics.py:62-99)."""
+    data_range: DataRange = None
+    if data_min is not None and data_max is not None:
+        data_range = (data_min, data_max)
+    elif data_max is not None:
+        data_range = data_max
+
+    preds = sorted(_glob.glob(os.path.join(preds_path, "*.mat")))
+    psnr_sum = ssim_sum = None
+    count = 0
+    for pred_img in preds:
+        name = os.path.basename(pred_img)
+        label_path = os.path.join(labels_path, name)
+        if not os.path.exists(label_path):
+            print(f"===> {name} | no ground truth in {labels_path}, skipping")
+            continue
+        im1 = jnp.asarray(load_hsi(pred_img, mat_key=mat_key_prediction))
+        im2 = jnp.asarray(load_hsi(label_path, mat_key=mat_key_gt))
+        p = np.asarray(psnr_bandwise(im1, im2, data_range))
+        s = np.asarray(ssim_bandwise(im1, im2, data_range))
+        psnr_sum = p if psnr_sum is None else psnr_sum + p
+        ssim_sum = s if ssim_sum is None else ssim_sum + s
+        count += 1
+    if psnr_sum is None:
+        raise ValueError("Number of files must be greater than 0")
+    return psnr_sum / count, ssim_sum / count

@@ -1,0 +1,197 @@
+"""Observability: console tee logger, MLflow shim, loss/metric plots, profiling.
+
+The reference logs through three channels (SURVEY.md §5): MLflow
+params/metrics/artifacts (main.py:225-264, model.py:333-341), a stdout tee to a
+log file (logger.py:3-24), and matplotlib curves (model.py:609-717). All three
+are reproduced; MLflow degrades to a transparent no-op when the package or a
+tracking server is absent, so training never depends on it. A
+``jax.profiler`` trace option replaces the reference's wall-clock-only timing.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Any, Dict, Optional
+
+import jax
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+
+class Logger:
+    """Tee stdout to the terminal and a UTF-8 log file (reference logger.py:3-24)."""
+
+    def __init__(self, filepath: str):
+        os.makedirs(os.path.dirname(filepath) or ".", exist_ok=True)
+        self.terminal = sys.stdout
+        self.log = open(filepath, "w", encoding="utf-8")
+
+    def write(self, message: str) -> None:
+        self.terminal.write(message)
+        self.log.write(message)
+        self.flush()
+
+    def flush(self) -> None:
+        self.terminal.flush()
+        self.log.flush()
+
+    def close(self) -> None:
+        self.log.close()
+
+
+class _NoOpRun:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+class MLflowShim:
+    """The subset of the mlflow API the pipeline uses; no-op without mlflow.
+
+    Mirrors every call site of the reference (main.py:225-264,
+    model.py:256-270,333-341): set_experiment, start_run, log_param(s),
+    log_metric(s), log_artifact.
+    """
+
+    def __init__(self, enabled: bool = True):
+        self._mlflow = None
+        if enabled:
+            try:
+                import mlflow  # type: ignore
+
+                self._mlflow = mlflow
+            except ImportError:
+                pass
+
+    @property
+    def active(self) -> bool:
+        return self._mlflow is not None
+
+    def set_experiment(self, name: str):
+        if self._mlflow:
+            self._mlflow.set_experiment(name)
+
+    def start_run(self):
+        return self._mlflow.start_run() if self._mlflow else _NoOpRun()
+
+    def log_param(self, key: str, value: Any):
+        if self._mlflow:
+            self._mlflow.log_param(key, value)
+
+    def log_params(self, params: Dict[str, Any]):
+        if self._mlflow:
+            self._mlflow.log_params(params)
+
+    def log_metric(self, key: str, value: float, step: Optional[int] = None):
+        if self._mlflow:
+            self._mlflow.log_metric(key, value, step=step)
+
+    def log_metrics(self, values: Dict[str, float], step: Optional[int] = None):
+        if self._mlflow:
+            self._mlflow.log_metrics(values, step=step)
+
+    def log_artifact(self, path: str, artifact_path: Optional[str] = None):
+        if self._mlflow and os.path.exists(path):
+            self._mlflow.log_artifact(path, artifact_path=artifact_path)
+
+
+def param_summary(params: Any) -> str:
+    """Per-module parameter count report (replaces torchinfo, model.py:267-270)."""
+    lines = ["Layer (pytree path)                                    Param #"]
+    lines.append("=" * 62)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    total = 0
+    for path, leaf in flat:
+        name = "/".join(str(p.key) if hasattr(p, "key") else str(p) for p in path)
+        lines.append(f"{name:<50} {leaf.size:>10,}")
+        total += leaf.size
+    lines.append("=" * 62)
+    lines.append(f"Total params: {total:,}")
+    return "\n".join(lines)
+
+
+class RunObserver:
+    """Loss/metric plotting + model summary, wired into the Trainer."""
+
+    def log_model_summary(self, params: Any, ckpt_dir: str, mlflow: Optional[MLflowShim]):
+        summary_path = os.path.join(ckpt_dir, "model_summary.txt")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        with open(summary_path, "w", encoding="utf-8") as fh:
+            fh.write(param_summary(params))
+        if mlflow:
+            mlflow.log_artifact(summary_path)
+
+    def plot_loss_curve(self, all_epoch_losses: Dict[str, list], save_path: str) -> None:
+        """Seven-panel loss curves (reference model.py:649-717)."""
+        epochs = range(1, len(all_epoch_losses["total_loss"]) + 1)
+        panels = [
+            ("total_loss", "k-", "Total Loss"),
+            ("L_reconstruction", "r-", "Reconstruction Loss"),
+            ("L_R_fidelity", "b-", "Reflectance Fidelity Loss"),
+            ("L_I_smooth_low", "y-", "Structure-aware Illumination Smoothness Loss (I_low)"),
+            ("L_I_smooth_delta", "g-", "Structure-aware Illumination Smoothness Loss (I_delta)"),
+            ("L_fourier", "m-", "Fourier Spectrum Loss"),
+            ("L_spectral_cons", "c-", "Spectral Consistency Loss"),
+        ]
+        plt.figure(figsize=(20, 10))
+        for i, (key, style, title) in enumerate(panels, start=1):
+            plt.subplot(3, 3, i)
+            plt.plot(epochs, all_epoch_losses[key], style, label=key)
+            plt.title(title)
+            plt.xlabel("Epoch")
+            plt.ylabel("Loss")
+            plt.grid(True)
+            plt.legend()
+        plt.tight_layout()
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        plt.savefig(save_path)
+        plt.close()
+        print(f"Loss curves saved to {save_path}")
+
+    def plot_eval_metrics(self, eval_metrics: Dict[int, Dict[str, float]], save_path: str) -> None:
+        """PSNR/SSIM/SAM curves over eval epochs (reference model.py:609-647)."""
+        epochs = sorted(eval_metrics.keys())
+        series = [
+            ("psnr", "k-", "Eval PSNR", "PSNR"),
+            ("ssim", "r-", "Eval SSIM", "SSIM"),
+            ("sam", "b-", "Eval SAM", "SAM"),
+        ]
+        plt.figure(figsize=(10, 10))
+        for i, (key, style, title, ylabel) in enumerate(series, start=1):
+            plt.subplot(3, 1, i)
+            plt.plot(epochs, [eval_metrics[e][key] for e in epochs], style, label=f"avg_{key}")
+            plt.title(title)
+            plt.xlabel("Epoch")
+            plt.ylabel(ylabel)
+            plt.grid(True)
+            plt.legend()
+        plt.tight_layout()
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        plt.savefig(save_path)
+        plt.close()
+        print(f"Eval metrics saved to {save_path}")
+
+
+class Profiler:
+    """Optional jax.profiler trace around a region (replaces wall-clock-only
+    timing; writes a TensorBoard-compatible trace)."""
+
+    def __init__(self, trace_dir: str = ""):
+        self.trace_dir = trace_dir
+        self._active = False
+
+    def __enter__(self):
+        if self.trace_dir:
+            jax.profiler.start_trace(self.trace_dir)
+            self._active = True
+        return self
+
+    def __exit__(self, *exc):
+        if self._active:
+            jax.profiler.stop_trace()
+        return False

@@ -1,0 +1,163 @@
+"""The six-term self-supervised loss suite, as pure jax functions over NHWC.
+
+Term-for-term parity with reference model.py:445-575 (axis-translated from the
+reference's NCHW to our NHWC):
+
+  * L_reconstruction  — mean |R·I − input|                  (model.py:551)
+  * L_I_smooth_low,
+    L_R_fidelity      — structure-aware loss                (model.py:491-542)
+  * L_I_smooth_delta  — edge-weighted smoothness            (model.py:450-454)
+  * L_fourier         — masked FFT-magnitude L1             (model.py:456-473)
+  * L_spectral_cons   — band-to-band L1                     (model.py:475-481)
+
+All terms return float32 scalars that stay on device; the weighted sum
+(:func:`total_loss`) mirrors model.py:557-564.
+
+Note on the Fourier mask: the reference builds the radial coordinate grid with
+``linspace(-1, 1)`` and applies it to the *unshifted* fft2 output
+(model.py:460-464) — i.e. the excluded disk sits at the array center, which in
+unshifted layout is the Nyquist region. That is the math the published model
+trains with, so we reproduce it verbatim rather than "fixing" it with fftshift.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+
+def _dx(x: jnp.ndarray) -> jnp.ndarray:
+    """Forward difference along width (NHWC axis 2) — reference gradient_x."""
+    return x[:, :, 1:, :] - x[:, :, :-1, :]
+
+
+def _dy(x: jnp.ndarray) -> jnp.ndarray:
+    """Forward difference along height (NHWC axis 1) — reference gradient_y."""
+    return x[:, 1:, :, :] - x[:, :-1, :, :]
+
+
+def reconstruction_loss(R: jnp.ndarray, I: jnp.ndarray, input_low: jnp.ndarray) -> jnp.ndarray:
+    """mean |R·I − input| (reference model.py:551)."""
+    return jnp.mean(jnp.abs(R * I - input_low))
+
+
+def structure_aware_loss(
+    R: jnp.ndarray,
+    I: jnp.ndarray,
+    R_enh: jnp.ndarray,
+    alpha: float = 1.0,
+    beta: float = 1.0,
+    lambda_I: float = 1.0,
+    lambda_R: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Edge-aware illumination smoothness + reflectance fidelity (model.py:491-542).
+
+    R, R_enh: (B, H, W, C); I: (B, H, W, 1). Returns (i_loss, r_loss).
+    """
+    grad_R_x = _dx(R)
+    grad_R_y = _dy(R)
+    # Channel-mean absolute gradients gate the illumination smoothness.
+    weight_x = jnp.exp(-alpha * jnp.mean(jnp.abs(grad_R_x), axis=-1, keepdims=True))
+    weight_y = jnp.exp(-alpha * jnp.mean(jnp.abs(grad_R_y), axis=-1, keepdims=True))
+    loss_I = jnp.mean(weight_x * jnp.abs(_dx(I))) + jnp.mean(weight_y * jnp.abs(_dy(I)))
+
+    loss_R1 = jnp.mean(jnp.abs(R - R_enh))
+    loss_R2 = jnp.mean(jnp.abs(grad_R_x - _dx(R_enh))) + jnp.mean(
+        jnp.abs(grad_R_y - _dy(R_enh))
+    )
+    loss_R = loss_R1 + beta * loss_R2
+    return lambda_I * loss_I, lambda_R * loss_R
+
+
+def smooth_loss(I: jnp.ndarray, R: jnp.ndarray, alpha: float = 10.0) -> jnp.ndarray:
+    """mean(|∇I|·exp(−α|∇R|)) in x and y (reference model.py:450-454).
+
+    I: (B, H, W, 1) broadcasts against R: (B, H, W, C), matching the
+    reference's NCHW broadcast of (B,1,·,·) × (B,C,·,·).
+    """
+    gIx, gIy = jnp.abs(_dx(I)), jnp.abs(_dy(I))
+    gRx, gRy = jnp.abs(_dx(R)), jnp.abs(_dy(R))
+    return jnp.mean(gIx * jnp.exp(-alpha * gRx)) + jnp.mean(gIy * jnp.exp(-alpha * gRy))
+
+
+def fourier_highpass_mask(h: int, w: int, cutoff: float = 0.1) -> jnp.ndarray:
+    """The reference's radial mask over the *unshifted* spectrum (model.py:460-464)."""
+    y = jnp.linspace(-1.0, 1.0, h)
+    x = jnp.linspace(-1.0, 1.0, w)
+    Y, X = jnp.meshgrid(y, x, indexing="ij")
+    radius = jnp.sqrt(X**2 + Y**2)
+    return (radius >= cutoff).astype(jnp.float32)
+
+
+def fourier_spectrum_loss(
+    input_hsi: jnp.ndarray,
+    target_hsi: jnp.ndarray,
+    cutoff: float = 0.1,
+    loss_type: str = "l1",
+) -> jnp.ndarray:
+    """L1/L2 between masked FFT magnitudes of the cubes (model.py:456-473).
+
+    NHWC: fft2 over the spatial axes (1, 2), mask broadcast over batch/bands.
+    """
+    h, w = input_hsi.shape[1], input_hsi.shape[2]
+    mask = fourier_highpass_mask(h, w, cutoff)[None, :, :, None]
+    # |F·mask| == |F|·mask for a 0/1 mask; taking abs first keeps it real.
+    abs_input = jnp.abs(jnp.fft.fft2(input_hsi, axes=(1, 2))) * mask
+    abs_target = jnp.abs(jnp.fft.fft2(target_hsi, axes=(1, 2))) * mask
+    if loss_type == "l1":
+        return jnp.mean(jnp.abs(abs_input - abs_target))
+    return jnp.mean((abs_input - abs_target) ** 2)
+
+
+def spectral_smoothness_loss(hsi: jnp.ndarray, loss_type: str = "l1") -> jnp.ndarray:
+    """Band-to-band difference penalty over the channel axis (model.py:475-481)."""
+    spectral_diff = hsi[..., 1:] - hsi[..., :-1]
+    if loss_type == "l1":
+        return jnp.mean(jnp.abs(spectral_diff))
+    return jnp.mean(spectral_diff**2)
+
+
+def total_loss(
+    input_low: jnp.ndarray,
+    R_low: jnp.ndarray,
+    I_low: jnp.ndarray,
+    I_delta: jnp.ndarray,
+    S: jnp.ndarray,
+    R_enh: jnp.ndarray,
+    coeffs: Dict[str, float],
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Weighted six-term loss (reference compute_loss, model.py:544-575).
+
+    ``coeffs`` carries the config weights: c_loss_reconstruction,
+    c_loss_r_fidelity, c_loss_i_smooth_low, c_loss_i_smooth_delta,
+    c_loss_fourier, c_loss_spectral_cons, alpha_i_smooth_low,
+    alpha_i_smooth_delta. Returns (scalar, per-term dict of on-device scalars).
+    """
+    L_reconstruction = reconstruction_loss(R_low, I_low, input_low)
+    L_I_smooth_low, L_R_fidelity = structure_aware_loss(
+        R_low, I_low, R_enh,
+        alpha=coeffs["alpha_i_smooth_low"], beta=0.5, lambda_I=1.0, lambda_R=1.0,
+    )
+    L_I_smooth_delta = smooth_loss(I_delta, R_low, alpha=coeffs["alpha_i_smooth_delta"])
+    L_fourier = fourier_spectrum_loss(input_low, S, cutoff=0.1, loss_type="l1")
+    L_spectral_cons = spectral_smoothness_loss(S, loss_type="l1")
+
+    total = (
+        coeffs["c_loss_reconstruction"] * L_reconstruction
+        + coeffs["c_loss_r_fidelity"] * L_R_fidelity
+        + coeffs["c_loss_i_smooth_low"] * L_I_smooth_low
+        + coeffs["c_loss_i_smooth_delta"] * L_I_smooth_delta
+        + coeffs["c_loss_fourier"] * L_fourier
+        + coeffs["c_loss_spectral_cons"] * L_spectral_cons
+    )
+    terms = {
+        "total_loss": total,
+        "L_reconstruction": L_reconstruction,
+        "L_R_fidelity": L_R_fidelity,
+        "L_I_smooth_low": L_I_smooth_low,
+        "L_I_smooth_delta": L_I_smooth_delta,
+        "L_fourier": L_fourier,
+        "L_spectral_cons": L_spectral_cons,
+    }
+    return total, terms

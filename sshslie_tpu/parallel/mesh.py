@@ -1,0 +1,66 @@
+"""Mesh construction and sharding layouts for data-parallel training.
+
+The reference is strictly single-device (SURVEY.md §2 preamble: no
+torch.distributed anywhere), so everything here is net-new TPU design:
+
+  * a 1-D ``data`` mesh over all local devices (or a user ``mesh_shape``);
+  * batches enter sharded on the batch axis (NamedSharding, ICI all-reduce
+    inserted by XLA for the loss/grad means);
+  * params/optimizer state are replicated — this model is <1M params, so
+    data-parallel with replicated state is the right point in the
+    (DP, TP, FSDP) space; tensor sharding would only add collectives.
+
+Multi-host note: under ``jax.distributed`` the same NamedSharding spans
+processes; each host feeds only its addressable shard via
+``jax.make_array_from_process_local_data``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def parse_mesh_shape(spec: str) -> Tuple[int, ...]:
+    """'8' → (8,); '4x2' → (4, 2); '' → all devices on a 1-D mesh."""
+    if not spec:
+        return (len(jax.devices()),)
+    return tuple(int(part) for part in spec.lower().split("x"))
+
+
+def make_mesh(
+    mesh_shape: str = "",
+    axis_names: Optional[Sequence[str]] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a Mesh over the given devices; default 1-D ('data',) over all."""
+    shape = parse_mesh_shape(mesh_shape)
+    if axis_names is None:
+        axis_names = ("data",) if len(shape) == 1 else ("data", "model")[: len(shape)]
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    n_needed = int(np.prod(shape))
+    if n_needed > devs.size:
+        raise ValueError(f"mesh shape {shape} needs {n_needed} devices, have {devs.size}")
+    return Mesh(devs[:n_needed].reshape(shape), axis_names=tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = "data", ndim: int = 4) -> NamedSharding:
+    """Shard the leading (batch) axis across the data mesh axis."""
+    return NamedSharding(mesh, P(data_axis, *([None] * (ndim - 1))))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch_size(global_batch: int, mesh: Mesh, data_axis: str = "data") -> int:
+    """Validate the global batch divides the data axis; return per-device size."""
+    n = mesh.shape[data_axis]
+    if global_batch % n != 0:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by data-parallel size {n}"
+        )
+    return global_batch // n

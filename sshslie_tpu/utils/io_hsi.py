@@ -1,0 +1,179 @@
+"""HSI cube I/O and normalization (host-side, pure numpy/scipy).
+
+Functional parity with reference utils.py:36-178 (load/save + four
+normalization modes and their inverses) and utils.py:208-237 (wavelength
+selection), with the reference's quirks resolved explicitly:
+
+  * The reference divides *every* normalized cube by its own max on the way out
+    of ``load_hsi`` (reference utils.py:57), i.e. "global_normalization" output
+    is additionally self-scaled per cube. That double-scaling is part of the
+    training math the published results depend on, so we reproduce it by
+    default; pass ``rescale_by_max=False`` for the un-quirked behavior.
+  * ``save_hsi`` strips a hardcoded 4-char extension (reference utils.py:174);
+    we split the extension properly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.io as sio
+
+
+def load_hsi(
+    file: str,
+    mat_key: str = "data",
+    normalization: Optional[str] = None,
+    max_val: Optional[float] = None,
+    min_val: Optional[float] = None,
+    rescale_by_max: bool = True,
+) -> np.ndarray:
+    """Load an (H, W, C) float32 cube from a MATLAB ``.mat`` file.
+
+    Normalization modes and the trailing divide-by-max match reference
+    utils.py:36-57 exactly (including the clamp of negatives to zero after
+    global normalization, reference utils.py:47).
+    """
+    mat = sio.loadmat(file)
+    if mat_key not in mat:
+        raise KeyError(
+            f"{file}: variable {mat_key!r} not found; available: "
+            f"{[k for k in mat if not k.startswith('__')]}"
+        )
+    x = np.asarray(mat[mat_key], dtype=np.float32)
+
+    if normalization is None:
+        return x
+    if normalization == "self":
+        x = self_normalization(x)
+    elif normalization == "global_normalization":
+        x = global_normalization(x, max_val=max_val, min_val=min_val)
+        x[x < 0] = 0.0
+    elif normalization == "per_channel_normalization":
+        x = per_channel_normalization(x)
+    elif normalization == "per_channel_standardization":
+        x = per_channel_standardization(x)
+    else:
+        raise NotImplementedError(f"{normalization} is not implemented")
+
+    x = x.astype(np.float32)
+    if rescale_by_max:
+        # Reference quirk (utils.py:57): every normalized cube is additionally
+        # divided by its own max.
+        x = x / np.max(x)
+    return x
+
+
+def save_hsi(
+    filepath: str,
+    data: np.ndarray,
+    postfix: Optional[str] = None,
+    key: str = "data",
+) -> str:
+    """Save an (H, W, C) cube to ``.mat`` under ``key`` (reference utils.py:171-178).
+
+    Returns the path actually written. Unlike the reference, the extension is
+    split with ``os.path.splitext`` rather than ``filepath[:-4]``.
+    """
+    base, _ = os.path.splitext(filepath)
+    if postfix:
+        base += postfix
+    out = base + ".mat"
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    sio.savemat(out, {key: np.asarray(data)})
+    return out
+
+
+# --- normalization modes (reference utils.py:59-109) ---
+
+def self_normalization(x: np.ndarray) -> np.ndarray:
+    """Map the cube max to 1 (reference utils.py:89-93)."""
+    return x / np.max(x)
+
+
+def global_normalization(
+    x: np.ndarray, max_val: Optional[float] = None, min_val: Optional[float] = None
+) -> np.ndarray:
+    """(x - min) / (max - min) with dataset-global bounds (reference utils.py:75-87)."""
+    if max_val is None:
+        raise ValueError("max value is not provided for global normalization")
+    if min_val is None:
+        min_val = 0.0
+    if min_val > max_val:
+        raise ValueError("min value cannot be larger than the max value")
+    return (x - min_val) / (max_val - min_val)
+
+
+def per_channel_normalization(x: np.ndarray) -> np.ndarray:
+    """Min-max scale each spectral band independently (reference utils.py:59-73)."""
+    min_vals = np.min(x, axis=(0, 1), keepdims=True)
+    max_vals = np.max(x, axis=(0, 1), keepdims=True)
+    range_vals = np.where(max_vals > min_vals, max_vals - min_vals, 1.0)
+    return (x - min_vals) / range_vals
+
+
+def per_channel_standardization(x: np.ndarray) -> np.ndarray:
+    """Zero-mean unit-std per band (reference utils.py:95-109)."""
+    mean_vals = np.mean(x, axis=(0, 1), keepdims=True)
+    std_vals = np.std(x, axis=(0, 1), keepdims=True)
+    std_vals = np.where(std_vals > 0, std_vals, 1.0)
+    return (x - mean_vals) / std_vals
+
+
+# --- inverses (reference utils.py:111-169) ---
+
+def inverse_global_normalization(
+    predictions: np.ndarray, global_min: float, global_max: float
+) -> np.ndarray:
+    return np.asarray(predictions) * (global_max - global_min) + global_min
+
+
+def inverse_per_channel_normalization(
+    predictions: np.ndarray, min_vals: np.ndarray, max_vals: np.ndarray
+) -> np.ndarray:
+    return np.asarray(predictions) * (max_vals - min_vals) + min_vals
+
+
+def inverse_per_channel_standardization(
+    predictions: np.ndarray, mean_vals: np.ndarray, std_vals: np.ndarray
+) -> np.ndarray:
+    return np.asarray(predictions) * std_vals + mean_vals
+
+
+# --- wavelength selection (reference utils.py:208-237) ---
+
+def select_hsi_wavelengths(
+    range_start: float,
+    range_end: float,
+    total_channels: int,
+    d_head: int,
+    d_tail: int,
+    s: int = 3,
+) -> Tuple[np.ndarray, int]:
+    """Wavelengths (nm) of retained bands: drop head/tail, keep every s-th."""
+    wavelengths = np.linspace(range_start, range_end, total_channels)
+    remaining = wavelengths[d_head:-d_tail] if d_tail > 0 else wavelengths[d_head:]
+    selected = remaining[::s]
+    return selected, len(selected)
+
+
+# --- LR schedule helpers (reference utils.py:180-206; kept for API parity) ---
+
+def adaptive_lr(
+    num_epochs: int, divide_period: int, divide_by: float, initial_value: float
+) -> np.ndarray:
+    """Piecewise-constant LR array divided by ``divide_by`` every period."""
+    arr = np.zeros(num_epochs)
+    current = initial_value
+    for i in range(0, num_epochs, divide_period):
+        arr[i : i + divide_period] = current
+        current /= divide_by
+    return arr
+
+
+def polynomial_decay(
+    initial_value: float, decay_rate: float, power: float, step: float
+) -> float:
+    return initial_value / (1 + decay_rate * step) ** power

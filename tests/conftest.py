@@ -1,0 +1,57 @@
+"""Test bootstrap: force the CPU backend with a virtual 8-device mesh.
+
+Must run before any jax backend initialization. The container's sitecustomize
+registers the axon TPU plugin and snapshots JAX_PLATFORMS at interpreter
+start, so the env var alone is not enough — we use jax.config.update, which
+wins as long as no backend has been touched yet. torch is imported first
+because importing it after the TPU client initializes deadlocks.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+
+import torch  # noqa: F401  (must precede jax/TPU init; see module docstring)
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _verify_cpu_backend():
+    assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+    assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
+    yield
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(1234)
+
+
+def make_synthetic_dataset(root, rng, n_train=2, h=40, w=48, c=12, lo=200.0, hi=3800.0):
+    """Write a tiny synthetic .mat dataset tree under ``root``."""
+    import scipy.io as sio
+
+    dirs = {}
+    for sub in ("low/train", "low/eval", "low/test", "high/test", "high/eval"):
+        d = os.path.join(root, "data", sub)
+        os.makedirs(d, exist_ok=True)
+        dirs[sub] = d
+    for i in range(n_train):
+        cube = (rng.rand(h, w, c) * (hi - lo) + lo).astype(np.float32)
+        sio.savemat(os.path.join(dirs["low/train"], f"c{i}.mat"), {"data": cube})
+    for name, sub in (("t0", "low/test"), ("t0", "high/test"), ("e0", "low/eval"), ("e0", "high/eval")):
+        cube = (rng.rand(h, w, c) * (hi - lo) + lo).astype(np.float32)
+        sio.savemat(os.path.join(dirs[sub], f"{name}.mat"), {"data": cube})
+    return dirs

@@ -1,0 +1,87 @@
+"""Config precedence, derived paths, CLI parsing (reference main.py:16-90 parity)."""
+
+import os
+
+import pytest
+import yaml
+
+from sshslie_tpu.config import Config, load_config, parse_args
+
+
+def test_defaults_match_reference_surface():
+    cfg = Config()
+    # Spot-check the reference's hardcoded defaults (main.py:17-55).
+    assert cfg.seed_value == 41
+    assert cfg.patch_size == 128
+    assert cfg.start_lr == 0.001
+    assert cfg.c_loss_i_smooth_delta == 20.0
+    assert cfg.c_loss_fourier == 0.2
+    assert cfg.phase == "train_and_test"
+    assert cfg.model_name == "no_name_model"
+
+
+def test_yaml_overrides_defaults(tmp_path):
+    p = tmp_path / "c.yml"
+    p.write_text(yaml.safe_dump({"batch_size": 4, "model_name": "m1"}))
+    cfg = load_config(str(p))
+    assert cfg.batch_size == 4
+    assert cfg.model_name == "m1"
+    assert cfg.patch_size == 128  # untouched default
+
+
+def test_cli_overrides_yaml(tmp_path):
+    p = tmp_path / "c.yml"
+    p.write_text(yaml.safe_dump({"batch_size": 4}))
+    cfg = load_config(str(p), overrides={"batch_size": 8})
+    assert cfg.batch_size == 8
+
+
+def test_unknown_yaml_key_raises(tmp_path):
+    p = tmp_path / "c.yml"
+    p.write_text(yaml.safe_dump({"batch_sizee": 4}))
+    with pytest.raises(KeyError):
+        load_config(str(p))
+
+
+def test_derived_paths_layout(tmp_path):
+    p = tmp_path / "c.yml"
+    p.write_text(yaml.safe_dump({"model_name": "mx"}))
+    cfg = load_config(str(p))
+    assert cfg.full_model_name.startswith("mx_")
+    assert cfg.model_ckpt_dir == os.path.join(".", "checkpoint", "mx")
+    assert "eval_results_mx_" in cfg.eval_result_dir
+    assert "test_results_mx_" in cfg.test_result_dir
+
+
+def test_test_phase_uses_test_timestamp(tmp_path):
+    p = tmp_path / "c.yml"
+    p.write_text(yaml.safe_dump({"model_name": "mx", "phase": "test",
+                                 "test_timestamp": "20250101_000000"}))
+    cfg = load_config(str(p))
+    # Checkpoint dir points at the trained run; result dir carries the _test_ postfix.
+    assert cfg.test_model_dir.endswith("Decomposition_20250101_000000")
+    assert "_test_" in cfg.full_model_name
+
+
+def test_parse_args_cli_types(tmp_path):
+    p = tmp_path / "c.yml"
+    p.write_text(yaml.safe_dump({"batch_size": 2}))
+    cfg = parse_args([
+        "--config", str(p),
+        "--batch_size", "16",
+        "--start_lr", "0.01",
+        "--save_reflectance", "true",
+        "--channels", "224",
+    ])
+    assert cfg.batch_size == 16 and isinstance(cfg.batch_size, int)
+    assert cfg.start_lr == 0.01
+    assert cfg.save_reflectance is True
+    assert cfg.channels == 224
+
+
+def test_shipped_configs_load():
+    root = os.path.join(os.path.dirname(os.path.dirname(__file__)), "config")
+    for name in sorted(os.listdir(root)):
+        cfg = load_config(os.path.join(root, name))
+        assert cfg.channels in (64, 224)
+        assert cfg.phase in ("train", "test", "train_and_test")

@@ -1,0 +1,84 @@
+"""End-to-end phases through main.py on a synthetic dataset (reference call
+stacks §3.1/§3.2): train_and_test produces results + checkpoints + metrics,
+and the standalone test phase reloads by timestamp."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from sshslie_tpu.config import load_config
+from tests.conftest import make_synthetic_dataset
+
+
+@pytest.fixture
+def workspace(tmp_path, rng):
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    make_synthetic_dataset(str(tmp_path), rng, h=32, w=32, c=12)
+    yield tmp_path
+    os.chdir(cwd)
+
+
+def _write_cfg(path, **kw):
+    base = dict(
+        channels=12, global_min=200.0, global_max=4095.0, batch_size=2,
+        patch_size=16, epoch=2, eval_every_epoch=1, plot_every_epoch=2,
+        phase="train_and_test", train_data="./data/low/train",
+        eval_data="./data/low/eval", test_data="./data/low/test",
+        label_dir="./data/high/test", model_name="e2e", start_lr=1e-3,
+        attention_impl="xla",
+    )
+    base.update(kw)
+    with open(path, "w") as fh:
+        yaml.safe_dump(base, fh)
+    return path
+
+
+def test_train_and_test_end_to_end(workspace):
+    import main as entry
+
+    cfg = load_config(_write_cfg("cfg.yml"))
+    entry.main(cfg)
+
+    # eval outputs per eval epoch
+    eval_mats = glob.glob("results/eval_results_*/epoch_*/e0.mat")
+    assert len(eval_mats) == 2
+    # test outputs
+    test_mats = glob.glob("results/test_results_*/t0.mat")
+    assert len(test_mats) == 1
+    # checkpoints: per-eval-epoch + latest
+    cks = sorted(glob.glob("checkpoint/e2e/Decomposition_*/model_epoch_*.ckpt"))
+    assert any("latest" in c for c in cks)
+    assert any("model_epoch_2" in c for c in cks)
+    # console log captured
+    logs = glob.glob("logs/console_output_*.log")
+    assert logs and "Average run time" in open(logs[0]).read()
+    # loss curves + plots
+    assert glob.glob("results/eval_results_*/loss_curves.png")
+
+    # saved prediction is denormalized into the global range
+    import scipy.io as sio
+
+    pred = sio.loadmat(test_mats[0])["data"]
+    assert pred.shape == (32, 32, 12)
+    assert pred.min() >= 200.0 - 1e-3
+
+    # standalone test phase reusing the trained checkpoint timestamp
+    ts = os.path.basename(os.path.dirname(cks[0])).split("Decomposition_")[-1]
+    cfg2 = load_config(_write_cfg("cfg2.yml", phase="test"),
+                       overrides={"test_timestamp": ts})
+    entry.main(cfg2)
+    assert glob.glob(f"results/test_results_e2e_{ts}_test_*/t0.mat")
+
+
+def test_train_phase_only(workspace):
+    import main as entry
+
+    cfg = load_config(_write_cfg("cfg3.yml", phase="train", model_name="tr",
+                                 epoch=1, eval_every_epoch=1))
+    entry.main(cfg)
+    assert glob.glob("checkpoint/tr/Decomposition_*/model_epoch_latest.ckpt")
+    assert not glob.glob("results/test_results_tr_*/*.mat")
