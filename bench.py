@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Benchmark harness: HSI train-step throughput on the local accelerator.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "MPB/s", "vs_baseline": N, ...}
+
+North-star metric (BASELINE.md): HSI megapixel·bands/sec/chip on the training
+step — batch·H·W·C / step-seconds / 1e6 — at the reference workload scale
+(batch 2, 128×128 patches, 64 bands; reference config/config.yml:7-13).
+``vs_baseline`` is the ratio to the PyTorch-CPU reference step measured from
+/root/reference (baseline_torch_cpu.json); the target is ≥20×.
+
+Usage: python bench.py [--batch 2] [--patch 128] [--channels 64] [--steps 50]
+       [--precision float32|bfloat16] [--extra]  (--extra adds inference bench)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--patch", type=int, default=128)
+    ap.add_argument("--channels", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--precision", default="float32")
+    ap.add_argument("--attention_impl", default="auto")
+    ap.add_argument("--extra", action="store_true", help="also bench full-cube inference")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from sshslie_tpu.config import Config
+    from sshslie_tpu.train import (
+        TrainState, build_model, init_params, loss_coeffs, make_optimizer,
+        make_train_step,
+    )
+
+    cfg = Config(channels=args.channels, patch_size=args.patch,
+                 batch_size=args.batch, precision=args.precision,
+                 attention_impl=args.attention_impl)
+    model = build_model(cfg, cfg.channels)
+    params = init_params(model, 0, cfg.patch_size)
+    tx = make_optimizer()
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    step = make_train_step(model, tx, loss_coeffs(cfg))
+
+    key = jax.random.PRNGKey(0)
+    batch = jax.random.uniform(
+        key, (args.batch, args.patch, args.patch, args.channels), jnp.float32
+    )
+    lr = jnp.float32(1e-3)
+
+    for _ in range(args.warmup):
+        state, terms = step(state, batch, lr)
+    jax.block_until_ready(terms["total_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, terms = step(state, batch, lr)
+    jax.block_until_ready(terms["total_loss"])
+    dt = (time.perf_counter() - t0) / args.steps
+
+    mpb_per_step = args.batch * args.patch * args.patch * args.channels / 1e6
+    mpb_per_sec = mpb_per_step / dt
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "baseline_torch_cpu.json")
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as fh:
+            base = json.load(fh)
+        # scale-normalize: baseline throughput at its own workload
+        vs_baseline = mpb_per_sec / base["mpb_per_sec"]
+
+    result = {
+        "metric": "hsi_train_throughput",
+        "value": round(mpb_per_sec, 4),
+        "unit": "megapixel*bands/s/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline is not None else None,
+        "step_seconds": round(dt, 6),
+        "workload": f"b{args.batch}_p{args.patch}_c{args.channels}_{args.precision}",
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+
+    if args.extra:
+        from sshslie_tpu.evaluate import Inferencer
+        import numpy as np
+
+        infer = Inferencer(model)
+        cube = np.random.rand(512, 512, args.channels).astype(np.float32)
+        _ = infer(state.params, cube)  # compile
+        t0 = time.perf_counter()
+        n = 5
+        for _ in range(n):
+            out = infer(state.params, cube)
+        jax.block_until_ready(out[3])
+        result["inference_512_seconds"] = round((time.perf_counter() - t0) / n, 4)
+
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

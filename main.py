@@ -96,6 +96,10 @@ def main(cfg: Config) -> None:
 
         import jax  # deferred so --help never touches the TPU
 
+        if cfg.device:
+            # Must happen before any backend use. The env var alone is not
+            # enough under launchers that import jax at interpreter start.
+            jax.config.update("jax_platforms", cfg.device)
         if cfg.jit_cache_dir:
             jax.config.update("jax_compilation_cache_dir", cfg.jit_cache_dir)
         print("Using devices:", jax.devices())

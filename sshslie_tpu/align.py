@@ -1,0 +1,294 @@
+"""Misregistration checker / aligner — Python replacement for the reference's
+MATLAB ``misregistration.m`` (SURVEY.md §2.2 M1).
+
+Per low/GT cube pair matched by basename:
+  1. build 2D projections ('band' | 'mean' | 'median' | 'pca',
+     misregistration.m:176-198);
+  2. estimate the global translation by FFT phase correlation with subpixel
+     refinement (replaces imregcorr, misregistration.m:105-107);
+  3. warp the low projection and measure residual misalignment with an
+     edge-distance proxy (Sobel edges + Euclidean distance transform,
+     replacing the Canny/bwdist proxy of misregistration.m:219-228 — the
+     optical-flow branch needs MATLAB CVT and falls back to the same proxy);
+  4. flag pairs over the shift/flow thresholds; write a CSV report sorted by
+     severity, flagged-pair preview PNGs, and optionally the aligned low cube
+     with the same shift applied to every band (misregistration.m:118-133).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from dataclasses import dataclass, field
+from glob import glob
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import scipy.io as sio
+import scipy.ndimage as ndi
+
+
+# ---------------------------------------------------------------------------
+# projections
+# ---------------------------------------------------------------------------
+
+def project_2d(cube: np.ndarray, method: str = "median", band: int = 0) -> np.ndarray:
+    """Collapse (H, W, C) to a 2D image for alignment (misregistration.m:176-198)."""
+    if method == "band":
+        b = int(np.clip(band, 0, cube.shape[2] - 1))
+        return cube[:, :, b].astype(np.float64)
+    if method == "mean":
+        return cube.mean(axis=2).astype(np.float64)
+    if method == "median":
+        return np.median(cube, axis=2).astype(np.float64)
+    if method == "pca":
+        h, w, c = cube.shape
+        x = cube.reshape(-1, c).astype(np.float64)
+        x = x - x.mean(axis=0)
+        # First left singular vector = PC-1 scores of the pixels.
+        u, _, _ = np.linalg.svd(x, full_matrices=False)
+        img = u[:, 0].reshape(h, w)
+        return _rescale01(img)
+    raise ValueError(f"unknown projection method {method!r}")
+
+
+def _rescale01(img: np.ndarray) -> np.ndarray:
+    lo, hi = img.min(), img.max()
+    return (img - lo) / (hi - lo) if hi > lo else np.zeros_like(img)
+
+
+# ---------------------------------------------------------------------------
+# translation estimation (phase correlation, subpixel)
+# ---------------------------------------------------------------------------
+
+def phase_correlation_shift(moving: np.ndarray, fixed: np.ndarray) -> Tuple[float, float]:
+    """(dy, dx) such that shifting ``moving`` by it aligns it to ``fixed``.
+
+    FFT cross-power spectrum peak with parabolic subpixel interpolation —
+    the same translation model as imregcorr(..., 'translation').
+    """
+    f1 = np.fft.fft2(moving)
+    f2 = np.fft.fft2(fixed)
+    cross = f2 * np.conj(f1)
+    denom = np.abs(cross)
+    denom[denom == 0] = 1.0
+    corr = np.fft.ifft2(cross / denom).real
+    peak = np.unravel_index(np.argmax(corr), corr.shape)
+
+    def subpixel(axis_len: int, idx: int, line: np.ndarray) -> float:
+        prev = line[(idx - 1) % axis_len]
+        cur = line[idx]
+        nxt = line[(idx + 1) % axis_len]
+        denom_ = 2 * cur - prev - nxt
+        frac = 0.5 * (nxt - prev) / denom_ if abs(denom_) > 1e-12 else 0.0
+        pos = idx + np.clip(frac, -0.5, 0.5)
+        if pos > axis_len / 2:
+            pos -= axis_len
+        return float(pos)
+
+    dy = subpixel(corr.shape[0], peak[0], corr[:, peak[1]])
+    dx = subpixel(corr.shape[1], peak[1], corr[peak[0], :])
+    return dy, dx
+
+
+def warp_translate(
+    img: np.ndarray, dy: float, dx: float, fill: Optional[float] = None
+) -> np.ndarray:
+    """Shift a 2D image by (dy, dx) with bilinear sampling and constant fill
+    (imwarp with FillValues, misregistration.m:111-113)."""
+    if fill is None:
+        fill = float(np.median(img))
+    return ndi.shift(img, (dy, dx), order=1, mode="constant", cval=fill)
+
+
+# ---------------------------------------------------------------------------
+# residual misalignment proxy
+# ---------------------------------------------------------------------------
+
+def sobel_edges(img: np.ndarray, pct: float = 90.0) -> np.ndarray:
+    """Boolean edge map: Sobel gradient magnitude over its ``pct`` percentile
+    (replacing MATLAB's Canny in the proxy; the ranking behavior is what the
+    report consumes, not the exact detector)."""
+    img = _rescale01(ndi.gaussian_filter(img, 0.8))
+    gx = ndi.sobel(img, axis=1)
+    gy = ndi.sobel(img, axis=0)
+    mag = np.hypot(gx, gy)
+    thresh = np.percentile(mag, pct)
+    return mag > max(thresh, 1e-12)
+
+
+def edge_misalign_proxy(warped: np.ndarray, fixed: np.ndarray) -> Tuple[float, float]:
+    """Mean / p95 symmetric edge-to-edge distance (misregistration.m:219-228)."""
+    e1 = sobel_edges(warped)
+    e2 = sobel_edges(fixed)
+    if not e1.any() or not e2.any():
+        return float("nan"), float("nan")
+    d1 = ndi.distance_transform_edt(~e1)
+    d2 = ndi.distance_transform_edt(~e2)
+    dists = np.concatenate([d1[e2].ravel(), d2[e1].ravel()])
+    return float(np.mean(dists)), float(np.percentile(dists, 95))
+
+
+# ---------------------------------------------------------------------------
+# batch checker
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PairResult:
+    file_low: str
+    file_gt: str
+    dx: float = float("nan")
+    dy: float = float("nan")
+    shift_px: float = float("nan")
+    mean_flow: float = float("nan")
+    p95_flow: float = float("nan")
+    flag_misaligned: bool = False
+    proj_method: str = "median"
+
+
+@dataclass
+class AlignOptions:
+    proj_method: str = "median"        # 'band' | 'mean' | 'median' | 'pca'
+    band_for_vis: int = 0
+    shift_thresh: float = 1.0
+    flow_thresh: float = 0.8
+    save_aligned_dir: str = ""          # '' to skip saving aligned cubes
+    max_previews: int = 30
+    mat_key: str = "data"
+    verbose: bool = True
+
+
+def _resize_nearest_2d(cube: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    """Per-band nearest resize (imresize3nearest2D, misregistration.m:184-190)."""
+    h, w = hw
+    ih, iw, _ = cube.shape
+    if (ih, iw) == (h, w):
+        return cube
+    ridx = np.floor(np.arange(h) * ih / h).astype(int)
+    cidx = np.floor(np.arange(w) * iw / w).astype(int)
+    return cube[ridx][:, cidx]
+
+
+def check_misregistration_hsi(
+    low_dir: str,
+    gt_dir: str,
+    out_csv: str,
+    preview_dir: str = "",
+    opts: Optional[AlignOptions] = None,
+) -> List[PairResult]:
+    """Batch misregistration check + optional per-band alignment.
+
+    Returns the per-pair results (also written, severity-sorted, to
+    ``out_csv``). Preview PNGs are emitted only for flagged pairs.
+    """
+    opts = opts or AlignOptions()
+    low_files = {os.path.splitext(os.path.basename(f))[0].lower(): f
+                 for f in sorted(glob(os.path.join(low_dir, "**", "*.mat"), recursive=True))}
+    gt_files = sorted(glob(os.path.join(gt_dir, "**", "*.mat"), recursive=True))
+    pairs = [
+        (low_files[os.path.splitext(os.path.basename(g))[0].lower()], g)
+        for g in gt_files
+        if os.path.splitext(os.path.basename(g))[0].lower() in low_files
+    ]
+    if not pairs:
+        raise ValueError(f"No matching .mat filenames between {low_dir} and {gt_dir}")
+    if opts.verbose:
+        print(f"Found {len(pairs)} matching pairs.")
+
+    if preview_dir:
+        os.makedirs(preview_dir, exist_ok=True)
+    if opts.save_aligned_dir:
+        os.makedirs(opts.save_aligned_dir, exist_ok=True)
+
+    results: List[PairResult] = []
+    previews = 0
+    for f_low, f_gt in pairs:
+        res = PairResult(file_low=os.path.relpath(f_low, low_dir),
+                         file_gt=os.path.relpath(f_gt, gt_dir),
+                         proj_method=opts.proj_method)
+        try:
+            low = np.asarray(sio.loadmat(f_low)[opts.mat_key], dtype=np.float64)
+            gt = np.asarray(sio.loadmat(f_gt)[opts.mat_key], dtype=np.float64)
+            h = min(low.shape[0], gt.shape[0])
+            w = min(low.shape[1], gt.shape[1])
+            low = _resize_nearest_2d(low, (h, w))
+            gt = _resize_nearest_2d(gt, (h, w))
+
+            low_proj = _rescale01(project_2d(low, opts.proj_method, opts.band_for_vis))
+            gt_proj = _rescale01(project_2d(gt, opts.proj_method, opts.band_for_vis))
+
+            dy, dx = phase_correlation_shift(low_proj, gt_proj)
+            shift_px = float(np.hypot(dx, dy))
+            warped = warp_translate(low_proj, dy, dx)
+            mean_flow, p95_flow = edge_misalign_proxy(warped, gt_proj)
+            flag = (shift_px > opts.shift_thresh) or (mean_flow > opts.flow_thresh)
+
+            res.dx, res.dy, res.shift_px = float(dx), float(dy), shift_px
+            res.mean_flow, res.p95_flow = mean_flow, p95_flow
+            res.flag_misaligned = bool(flag)
+
+            if preview_dir and flag and previews < opts.max_previews:
+                base = os.path.splitext(os.path.basename(f_gt))[0]
+                _save_preview(low_proj, gt_proj, warped, res,
+                              os.path.join(preview_dir, f"{base}_preview.png"))
+                previews += 1
+
+            if opts.save_aligned_dir:
+                fill = float(np.median(low))
+                aligned = np.stack(
+                    [warp_translate(low[:, :, b], dy, dx, fill)
+                     for b in range(low.shape[2])], axis=-1,
+                ).astype(np.float32)
+                base = os.path.splitext(os.path.basename(f_low))[0]
+                sio.savemat(os.path.join(opts.save_aligned_dir, base + ".mat"),
+                            {opts.mat_key: aligned})
+        except Exception as e:  # keep batch going like the MATLAB try/catch
+            print(f"Failed on pair {f_low} | {f_gt}: {e}")
+        results.append(res)
+
+    # severity sort: flagged first, then p95 flow, then shift
+    def _key(r: PairResult):
+        return (
+            r.flag_misaligned,
+            r.p95_flow if np.isfinite(r.p95_flow) else -1,
+            r.shift_px if np.isfinite(r.shift_px) else -1,
+        )
+
+    results.sort(key=_key, reverse=True)
+    os.makedirs(os.path.dirname(out_csv) or ".", exist_ok=True)
+    with open(out_csv, "w", newline="") as fh:
+        writer = csv.writer(fh)
+        writer.writerow(["file_low", "file_gt", "dx", "dy", "shift_px",
+                         "mean_flow", "p95_flow", "flag_misaligned", "projMethod"])
+        for r in results:
+            writer.writerow([r.file_low, r.file_gt, r.dx, r.dy, r.shift_px,
+                             r.mean_flow, r.p95_flow, r.flag_misaligned, r.proj_method])
+    if opts.verbose:
+        print(f"Saved report to {out_csv}")
+    return results
+
+
+def _save_preview(low: np.ndarray, gt: np.ndarray, warped: np.ndarray,
+                  res: PairResult, out_png: str) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    diff = np.abs(warped - gt)
+    fig, axes = plt.subplots(2, 3, figsize=(12, 8))
+    panels = [
+        (low, "Low proj"), (gt, "GT proj"),
+        (warped, f"Low warped (dx={res.dx:.2f}, dy={res.dy:.2f})"),
+        (sobel_edges(low).astype(float), "Edges: Low"),
+        (sobel_edges(warped).astype(float), "Edges: Warped Low"),
+        (diff, f"Abs diff | shift={res.shift_px:.2f} | "
+               f"meanFlow={res.mean_flow:.2f} | p95={res.p95_flow:.2f}"),
+    ]
+    for ax, (img, title) in zip(axes.ravel(), panels):
+        ax.imshow(img, cmap="gray")
+        ax.set_title(title, fontsize=9)
+        ax.axis("off")
+    plt.tight_layout()
+    plt.savefig(out_png, dpi=150)
+    plt.close(fig)

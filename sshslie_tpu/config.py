@@ -68,6 +68,7 @@ class Config:
     freeze_decom_epochs: int = 0
 
     # --- new framework keys (TPU-native; no reference counterpart) ---
+    device: str = ""                      # '' = default backend; 'cpu'/'tpu' force one
     test_timestamp: str = ""              # timestamp of the checkpoint to test (replaces main.py:80)
     mat_key_prediction: str = "data"      # key used when reading predictions back for metrics
     precision: str = "float32"            # 'float32' | 'bfloat16' compute dtype for the nets

@@ -221,7 +221,9 @@ class Trainer:
         if eval_result_dir:
             os.makedirs(eval_result_dir, exist_ok=True)
 
-        sampler = PatchSampler(
+        from sshslie_tpu.data.native_sampler import make_sampler
+
+        sampler = make_sampler(
             train_store, cfg.batch_size, cfg.patch_size, seed=cfg.seed_value
         )
         num_batches = sampler.num_batches

@@ -1,0 +1,117 @@
+"""Misregistration checker: phase-correlation shift recovery on known
+translations, projections, edge proxy behavior, batch CSV + aligned output."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+import scipy.io as sio
+
+from sshslie_tpu.align import (
+    AlignOptions,
+    check_misregistration_hsi,
+    edge_misalign_proxy,
+    phase_correlation_shift,
+    project_2d,
+    warp_translate,
+)
+
+
+def _scene(rng, h=64, w=64):
+    """Structured test image (random blobs, smoothed) so correlation locks on."""
+    import scipy.ndimage as ndi
+
+    img = rng.rand(h, w)
+    img = ndi.gaussian_filter(img, 3)
+    img[20:30, 15:40] += 1.0
+    img[40:50, 30:35] += 0.8
+    return ndi.gaussian_filter(img, 1)
+
+
+def test_projections(rng):
+    cube = rng.rand(16, 16, 8)
+    assert project_2d(cube, "band", 3).shape == (16, 16)
+    np.testing.assert_allclose(project_2d(cube, "mean"), cube.mean(axis=2))
+    np.testing.assert_allclose(project_2d(cube, "median"), np.median(cube, axis=2))
+    p = project_2d(cube, "pca")
+    assert p.shape == (16, 16) and p.min() >= 0 and p.max() <= 1
+    with pytest.raises(ValueError):
+        project_2d(cube, "nope")
+
+
+@pytest.mark.parametrize("dy,dx", [(3, 0), (0, -4), (5, 7), (-2, 3)])
+def test_phase_correlation_integer_shifts(rng, dy, dx):
+    fixed = _scene(rng)
+    moving = np.roll(fixed, (-dy, -dx), axis=(0, 1))
+    got_dy, got_dx = phase_correlation_shift(moving, fixed)
+    assert got_dy == pytest.approx(dy, abs=0.5)
+    assert got_dx == pytest.approx(dx, abs=0.5)
+
+
+def test_warp_translate_aligns(rng):
+    fixed = _scene(rng)
+    moving = np.roll(fixed, (-3, -2), axis=(0, 1))
+    warped = warp_translate(moving, 3, 2)
+    # interior must match (borders take fill)
+    np.testing.assert_allclose(warped[8:-8, 8:-8], fixed[8:-8, 8:-8], atol=1e-6)
+
+
+def test_edge_proxy_orders_misalignment(rng):
+    fixed = _scene(rng)
+    near = np.roll(fixed, (1, 0), axis=(0, 1))
+    far = np.roll(fixed, (6, 6), axis=(0, 1))
+    m_near, _ = edge_misalign_proxy(near, fixed)
+    m_far, _ = edge_misalign_proxy(far, fixed)
+    assert m_far > m_near
+
+
+def test_batch_checker_end_to_end(tmp_path, rng):
+    low_dir = tmp_path / "low"
+    gt_dir = tmp_path / "gt"
+    low_dir.mkdir(); gt_dir.mkdir()
+    base = _scene(rng)
+    cube_gt = np.stack([base * (1 + 0.1 * b) for b in range(6)], axis=-1)
+    # aligned pair
+    sio.savemat(gt_dir / "ok.mat", {"data": cube_gt.astype(np.float32)})
+    sio.savemat(low_dir / "ok.mat", {"data": (cube_gt * 0.3).astype(np.float32)})
+    # shifted pair (dy=4, dx=5) — must be flagged
+    shifted = np.roll(cube_gt, (-4, -5), axis=(0, 1))
+    sio.savemat(gt_dir / "bad.mat", {"data": cube_gt.astype(np.float32)})
+    sio.savemat(low_dir / "bad.mat", {"data": (shifted * 0.3).astype(np.float32)})
+    # unpaired file — ignored
+    sio.savemat(low_dir / "orphan.mat", {"data": cube_gt.astype(np.float32)})
+
+    out_csv = str(tmp_path / "report.csv")
+    aligned_dir = str(tmp_path / "aligned")
+    results = check_misregistration_hsi(
+        str(low_dir), str(gt_dir), out_csv, preview_dir=str(tmp_path / "prev"),
+        opts=AlignOptions(save_aligned_dir=aligned_dir, verbose=False),
+    )
+    by_name = {r.file_gt: r for r in results}
+    assert len(results) == 2
+    assert by_name["bad.mat"].flag_misaligned
+    assert by_name["bad.mat"].shift_px == pytest.approx(np.hypot(4, 5), abs=1.0)
+    assert not by_name["ok.mat"].flag_misaligned
+    # severity sort: flagged first
+    assert results[0].file_gt == "bad.mat"
+
+    with open(out_csv) as fh:
+        rows = list(csv.DictReader(fh))
+    assert len(rows) == 2 and rows[0]["flag_misaligned"] == "True"
+
+    # aligned cube: every band warped by the same shift; interior matches GT scene
+    aligned = sio.loadmat(os.path.join(aligned_dir, "bad.mat"))["data"]
+    assert aligned.shape == cube_gt.shape
+    ref = cube_gt * 0.3
+    np.testing.assert_allclose(aligned[10:-10, 10:-10, 2],
+                               ref[10:-10, 10:-10, 2], atol=0.05)
+    # preview written for the flagged pair
+    assert os.path.exists(tmp_path / "prev" / "bad_preview.png")
+
+
+def test_batch_checker_no_pairs(tmp_path):
+    (tmp_path / "a").mkdir(); (tmp_path / "b").mkdir()
+    with pytest.raises(ValueError):
+        check_misregistration_hsi(str(tmp_path / "a"), str(tmp_path / "b"),
+                                  str(tmp_path / "r.csv"))

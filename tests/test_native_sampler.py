@@ -1,0 +1,92 @@
+"""Native (C++) patch sampler: builds, produces valid augmented crops,
+deterministic per (seed, epoch, batch), and matches the Python sampler's
+semantics (batch shape, cyclic cube indexing, value provenance)."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from sshslie_tpu.data.datasets import CubeStore, PatchSampler
+from sshslie_tpu.data import native_sampler
+from sshslie_tpu.utils.augment import data_augmentation
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built_lib():
+    lib = os.path.join(ROOT, "native", "libpatch_sampler.so")
+    if not os.path.exists(lib):
+        subprocess.run(["sh", os.path.join(ROOT, "native", "build.sh")], check=True)
+    # force re-resolution in case an earlier test imported before the build
+    native_sampler._lib = None
+    assert native_sampler.native_available()
+    yield
+
+
+@pytest.fixture
+def store(tmp_path, rng):
+    import scipy.io as sio
+
+    d = tmp_path / "cubes"
+    d.mkdir()
+    for i in range(3):
+        sio.savemat(d / f"c{i}.mat", {"data": rng.rand(40, 48, 6).astype(np.float32)})
+    return CubeStore(str(d), normalization=None)
+
+
+def test_shapes_and_determinism(store):
+    s = native_sampler.NativePatchSampler(store, batch_size=4, patch_size=16, seed=7)
+    b1 = s.sample_batch(0, epoch=0)
+    b2 = s.sample_batch(0, epoch=0)
+    assert b1.shape == (4, 16, 16, 6)
+    np.testing.assert_array_equal(b1, b2)
+    b3 = s.sample_batch(0, epoch=1)
+    assert not np.array_equal(b1, b3)
+    b4 = s.sample_batch(1, epoch=0)
+    assert not np.array_equal(b1, b4)
+
+
+def test_samples_are_augmented_crops(store):
+    """Every sample must equal data_augmentation(crop, m) for some crop/mode —
+    proves the C++ mode table matches reference utils.py:7-34."""
+    s = native_sampler.NativePatchSampler(store, batch_size=6, patch_size=16, seed=3)
+    batch = s.sample_batch(0, epoch=0)
+    P = 16
+    for i in range(6):
+        cube = store.cubes[i % len(store)]
+        sample = batch[i]
+        found = False
+        for x in range(cube.shape[0] - P):
+            for y in range(cube.shape[1] - P):
+                crop = cube[x : x + P, y : y + P]
+                for m in range(8):
+                    if np.array_equal(sample, np.ascontiguousarray(data_augmentation(crop, m))):
+                        found = True
+                        break
+                if found:
+                    break
+            if found:
+                break
+        assert found, f"sample {i} is not an augmented crop of its cube"
+
+
+def test_epoch_iterator_matches_python_count(store):
+    ns = native_sampler.NativePatchSampler(store, batch_size=2, patch_size=16)
+    ps = PatchSampler(store, batch_size=2, patch_size=16)
+    assert ns.num_batches == ps.num_batches
+    assert len(list(ns.epoch())) == ns.num_batches
+
+
+def test_make_sampler_prefers_native(store):
+    s = native_sampler.make_sampler(store, 2, 16)
+    assert isinstance(s, native_sampler.NativePatchSampler)
+    s2 = native_sampler.make_sampler(store, 2, 16, prefer_native=False)
+    assert isinstance(s2, PatchSampler)
+
+
+def test_patch_too_large_raises(store):
+    with pytest.raises(ValueError):
+        native_sampler.NativePatchSampler(store, batch_size=1, patch_size=64)
