@@ -62,15 +62,26 @@ def main(argv=None):
     )
     lr = jnp.float32(1e-3)
 
-    for _ in range(args.warmup):
-        state, terms = step(state, batch, lr)
-    jax.block_until_ready(terms["total_loss"])
+    def timed_chain(state, n):
+        """Dispatch n chained steps, then force a real device→host fetch of a
+        scalar that depends on the whole chain. On some transports
+        block_until_ready is not a true sync; float() is."""
+        t0 = time.perf_counter()
+        terms = None
+        for _ in range(n):
+            state, terms = step(state, batch, lr)
+        loss = float(terms["total_loss"])
+        return time.perf_counter() - t0, state, loss
 
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, terms = step(state, batch, lr)
-    jax.block_until_ready(terms["total_loss"])
-    dt = (time.perf_counter() - t0) / args.steps
+    # warmup / compile
+    _, state, _ = timed_chain(state, args.warmup)
+    # marginal per-step time cancels dispatch+fetch overhead
+    n1 = max(args.steps // 4, 1)
+    n2 = args.steps
+    t1, state, _ = timed_chain(state, n1)
+    t2, state, loss = timed_chain(state, n2)
+    dt = (t2 - t1) / (n2 - n1) if n2 > n1 else t2 / n2
+    assert loss == loss, "loss is NaN"
 
     mpb_per_step = args.batch * args.patch * args.patch * args.channels / 1e6
     mpb_per_sec = mpb_per_step / dt

@@ -79,6 +79,21 @@ def load_pretrained_params(path: str, params_template: Any) -> Tuple[Any, Option
     return serialization.from_state_dict(params_template, raw), None
 
 
+def prune_checkpoints(ckpt_dir: str, keep: int) -> None:
+    """Delete the oldest periodic ``model_epoch_{N}`` checkpoints, keeping the
+    newest ``keep`` (``model_epoch_latest`` is never pruned)."""
+    import re
+
+    entries = []
+    for name in os.listdir(ckpt_dir):
+        m = re.fullmatch(r"model_epoch_(\d+)" + re.escape(CKPT_SUFFIX), name)
+        if m:
+            entries.append((int(m.group(1)), name))
+    entries.sort()
+    for _, name in entries[:-keep] if keep > 0 else []:
+        os.remove(os.path.join(ckpt_dir, name))
+
+
 def latest_path(ckpt_dir: str) -> str:
     return os.path.join(ckpt_dir, "model_epoch_latest" + CKPT_SUFFIX)
 

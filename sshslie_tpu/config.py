@@ -73,6 +73,8 @@ class Config:
     mat_key_prediction: str = "data"      # key used when reading predictions back for metrics
     precision: str = "float32"            # 'float32' | 'bfloat16' compute dtype for the nets
     attention_impl: str = "auto"          # 'auto' | 'xla' | 'pallas' | 'chunked'
+    use_attention: bool = False           # SEBlock variant (reference model.py:122,130-131)
+    use_transformer: bool = True          # TransformerBlock variant (reference default)
     mesh_shape: str = ""                  # e.g. '8' or '4x2'; '' = all local devices, 1-D data mesh
     data_axis: str = "data"               # mesh axis name for batch sharding
     prefetch_batches: int = 2             # host-side pipeline depth

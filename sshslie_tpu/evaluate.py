@@ -54,6 +54,47 @@ class Inferencer:
         return R[0], I[0], Id[0], S[0]
 
 
+class ShardedInferencer:
+    """Spatially-sharded whole-cube inference over a device mesh.
+
+    For cubes too large for one chip's HBM (or to cut latency), the height
+    axis is sharded across the mesh's data axis and the forward runs under
+    jit with a NamedSharding-constrained input: XLA SPMD partitions every
+    conv with halo exchanges and gathers the attention sequence — no manual
+    collectives (net-new vs the single-device reference, model.py:406-443).
+
+    H is edge-padded to a multiple of 8·n_devices so each shard's stride-2
+    pyramid stays aligned; the pad is cropped from the outputs.
+    """
+
+    def __init__(self, model: LowLightEnhanceNet, mesh, data_axis: str = "data"):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.model = model
+        self.mesh = mesh
+        self.n = mesh.shape[data_axis]
+        in_sharding = NamedSharding(mesh, P(None, data_axis, None, None))
+        rep = NamedSharding(mesh, P())
+        self._fn = jax.jit(
+            lambda params, x: model.apply({"params": params}, x),
+            in_shardings=(rep, in_sharding),
+            out_shardings=in_sharding,
+        )
+
+    def __call__(self, params: Any, cube: np.ndarray):
+        h, w, _ = cube.shape
+        m = 8 * self.n
+        ph = (m - h % m) % m
+        pw = (8 - w % 8) % 8
+        x = jnp.asarray(cube)[None, ...]
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+        R, I, Id, S = self._fn(params, x)
+        if ph or pw:
+            R, I, Id, S = (t[:, :h, :w, :] for t in (R, I, Id, S))
+        return R[0], I[0], Id[0], S[0]
+
+
 def _save_outputs(
     cfg: Config,
     out_dir: str,

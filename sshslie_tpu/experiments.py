@@ -1,0 +1,98 @@
+"""Experiment/capture registry — Python replacement for the reference's
+``fetchExperimentData.m`` (SURVEY.md §2.2 M2).
+
+The MATLAB original is a 316-line hardcoded table mapping an experiment name
+to the list of ``.mat`` capture paths per scene/integration time. Here the
+registry lives in a YAML file so datasets are declared, not coded:
+
+    # experiments.yml
+    jyu_indoor_100ms:
+      description: indoor JYU captures, 100 ms integration
+      wave_start_nm: 414.63
+      wave_end_nm: 985.05
+      captures:
+        - data/jyu_indoor/100ms/scene1.mat
+        - data/jyu_indoor/100ms/scene2.mat
+
+API: :func:`load_registry`, :func:`fetch_experiment_data`,
+:func:`list_experiments`.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import yaml
+
+
+@dataclass
+class Experiment:
+    name: str
+    captures: List[str]
+    description: str = ""
+    wave_start_nm: Optional[float] = None
+    wave_end_nm: Optional[float] = None
+    mat_key: str = "data"
+    extra: Dict = field(default_factory=dict)
+
+
+class Registry:
+    def __init__(self, experiments: Dict[str, Experiment], base_dir: str = ""):
+        self.experiments = experiments
+        self.base_dir = base_dir
+
+    def fetch(self, name: str) -> Experiment:
+        if name not in self.experiments:
+            raise KeyError(
+                f"unknown experiment {name!r}; known: {sorted(self.experiments)}"
+            )
+        exp = self.experiments[name]
+        if self.base_dir:
+            exp = Experiment(
+                name=exp.name,
+                captures=[os.path.join(self.base_dir, c) for c in exp.captures],
+                description=exp.description,
+                wave_start_nm=exp.wave_start_nm,
+                wave_end_nm=exp.wave_end_nm,
+                mat_key=exp.mat_key,
+                extra=exp.extra,
+            )
+        return exp
+
+    def names(self) -> List[str]:
+        return sorted(self.experiments)
+
+
+_KNOWN_FIELDS = {"captures", "description", "wave_start_nm", "wave_end_nm", "mat_key"}
+
+
+def load_registry(yaml_path: str, base_dir: str = "") -> Registry:
+    """Parse an experiments YAML into a Registry."""
+    with open(yaml_path) as fh:
+        raw = yaml.safe_load(fh) or {}
+    experiments = {}
+    for name, spec in raw.items():
+        if not isinstance(spec, dict) or "captures" not in spec:
+            raise ValueError(f"experiment {name!r} must be a mapping with 'captures'")
+        extra = {k: v for k, v in spec.items() if k not in _KNOWN_FIELDS}
+        experiments[name] = Experiment(
+            name=name,
+            captures=list(spec["captures"]),
+            description=spec.get("description", ""),
+            wave_start_nm=spec.get("wave_start_nm"),
+            wave_end_nm=spec.get("wave_end_nm"),
+            mat_key=spec.get("mat_key", "data"),
+            extra=extra,
+        )
+    return Registry(experiments, base_dir=base_dir)
+
+
+def fetch_experiment_data(name: str, yaml_path: str, base_dir: str = "") -> Experiment:
+    """One-shot convenience matching the MATLAB call shape."""
+    return load_registry(yaml_path, base_dir).fetch(name)
+
+
+def list_experiments(yaml_path: str) -> List[str]:
+    return load_registry(yaml_path).names()

@@ -50,54 +50,117 @@ class _NoOpRun:
         return False
 
 
+class LocalRunTracker:
+    """File-based experiment tracking: params.json, metrics.jsonl, artifact
+    copies under ``runs/<experiment>/``.
+
+    Stands in for an MLflow server so every run is still comparable offline —
+    the reference hard-depends on a reachable MLflow backend (main.py:225).
+    """
+
+    def __init__(self, root: str = "runs"):
+        self.root = root
+        self.experiment = "default"
+        self._dir: Optional[str] = None
+
+    def _ensure_dir(self) -> str:
+        if self._dir is None:
+            self._dir = os.path.join(self.root, self.experiment)
+            os.makedirs(os.path.join(self._dir, "artifacts"), exist_ok=True)
+        return self._dir
+
+    def set_experiment(self, name: str):
+        self.experiment = name
+        self._dir = None
+
+    def start_run(self):
+        self._ensure_dir()
+        return _NoOpRun()
+
+    def log_param(self, key: str, value: Any):
+        self.log_params({key: value})
+
+    def log_params(self, params: Dict[str, Any]):
+        import json
+
+        path = os.path.join(self._ensure_dir(), "params.json")
+        existing = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                existing = json.load(fh)
+        existing.update({k: repr(v) if not isinstance(v, (int, float, str, bool, type(None))) else v
+                         for k, v in params.items()})
+        with open(path, "w") as fh:
+            json.dump(existing, fh, indent=2)
+
+    def log_metric(self, key: str, value: float, step: Optional[int] = None):
+        self.log_metrics({key: value}, step=step)
+
+    def log_metrics(self, values: Dict[str, float], step: Optional[int] = None):
+        import json
+
+        with open(os.path.join(self._ensure_dir(), "metrics.jsonl"), "a") as fh:
+            fh.write(json.dumps({"step": step, **{k: float(v) for k, v in values.items()}}) + "\n")
+
+    def log_artifact(self, path: str, artifact_path: Optional[str] = None):
+        import shutil
+
+        if os.path.exists(path):
+            dest = os.path.join(self._ensure_dir(), "artifacts", artifact_path or "")
+            os.makedirs(dest, exist_ok=True)
+            shutil.copy(path, dest)
+
+
 class MLflowShim:
-    """The subset of the mlflow API the pipeline uses; no-op without mlflow.
+    """The subset of the mlflow API the pipeline uses.
 
     Mirrors every call site of the reference (main.py:225-264,
     model.py:256-270,333-341): set_experiment, start_run, log_param(s),
-    log_metric(s), log_artifact.
+    log_metric(s), log_artifact. Backend resolution: real mlflow if
+    importable, else the file-based LocalRunTracker, else no-op — training
+    never depends on a tracking server.
     """
 
-    def __init__(self, enabled: bool = True):
-        self._mlflow = None
+    def __init__(self, enabled: bool = True, local_root: str = "runs"):
+        self._backend = None
         if enabled:
             try:
                 import mlflow  # type: ignore
 
-                self._mlflow = mlflow
+                self._backend = mlflow
             except ImportError:
-                pass
+                self._backend = LocalRunTracker(local_root)
 
     @property
     def active(self) -> bool:
-        return self._mlflow is not None
+        return self._backend is not None
 
     def set_experiment(self, name: str):
-        if self._mlflow:
-            self._mlflow.set_experiment(name)
+        if self._backend:
+            self._backend.set_experiment(name)
 
     def start_run(self):
-        return self._mlflow.start_run() if self._mlflow else _NoOpRun()
+        return self._backend.start_run() if self._backend else _NoOpRun()
 
     def log_param(self, key: str, value: Any):
-        if self._mlflow:
-            self._mlflow.log_param(key, value)
+        if self._backend:
+            self._backend.log_param(key, value)
 
     def log_params(self, params: Dict[str, Any]):
-        if self._mlflow:
-            self._mlflow.log_params(params)
+        if self._backend:
+            self._backend.log_params(params)
 
     def log_metric(self, key: str, value: float, step: Optional[int] = None):
-        if self._mlflow:
-            self._mlflow.log_metric(key, value, step=step)
+        if self._backend:
+            self._backend.log_metric(key, value, step=step)
 
     def log_metrics(self, values: Dict[str, float], step: Optional[int] = None):
-        if self._mlflow:
-            self._mlflow.log_metrics(values, step=step)
+        if self._backend:
+            self._backend.log_metrics(values, step=step)
 
     def log_artifact(self, path: str, artifact_path: Optional[str] = None):
-        if self._mlflow and os.path.exists(path):
-            self._mlflow.log_artifact(path, artifact_path=artifact_path)
+        if self._backend and os.path.exists(path):
+            self._backend.log_artifact(path, artifact_path=artifact_path)
 
 
 def param_summary(params: Any) -> str:

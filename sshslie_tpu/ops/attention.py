@@ -109,43 +109,57 @@ def sdpa_chunked(
 # Pallas flash attention
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, seq_len: int, scale: float):
-    """One (q-block × full-K) flash attention pass.
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                  *, seq_len: int, scale: float):
+    """Streaming flash-attention step for one (bh, q-block, k-block) cell.
 
-    Grid: (batch*heads, num_q_blocks). Refs are VMEM blocks:
-      q_ref (1, block_q, d_pad), k_ref/v_ref (1, S_pad, d_pad), o_ref like q_ref.
-    Keys beyond ``seq_len`` are masked with -inf before the online softmax.
+    Grid: (batch*heads, num_q_blocks, num_k_blocks) with k innermost, so the
+    Pallas pipeline double-buffers the K/V block DMAs from HBM while the MXU
+    works — VMEM holds only one (block_q, d) Q tile and one (block_k, d) K/V
+    tile at a time, never the full sequence. Online-softmax running stats
+    (m, l, acc) persist across the k dimension in VMEM scratch; the output
+    block is written once on the last k step.
+
+    Keys beyond ``seq_len`` (zero padding) are masked with -inf.
     """
-    q = q_ref[0].astype(jnp.float32)  # (bq, d)
+    kb = pl.program_id(2)
+    num_kb = pl.num_programs(2)
+    block_k = k_ref.shape[1]
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)            # (bq, d_pad)
+    k_blk = k_ref[0].astype(jnp.float32)        # (bk, d_pad)
+    v_blk = v_ref[0].astype(jnp.float32)
     bq = q.shape[0]
-    s_pad = k_ref.shape[1]
-    num_kb = s_pad // block_k
 
-    def body(i, carry):
-        m_prev, l_prev, acc = carry
-        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        logits = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (bq, bk)
-        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + i * block_k
-        logits = jnp.where(col < seq_len, logits, _NEG_INF)
-        m_cur = jnp.max(logits, axis=-1)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(logits - m_new[:, None])
-        corr = jnp.exp(m_prev - m_new)
-        l_new = l_prev * corr + jnp.sum(p, axis=-1)
-        acc = acc * corr[:, None] + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return m_new, l_new, acc
+    logits = jax.lax.dot_general(
+        q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                   # (bq, bk)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + kb * block_k
+    logits = jnp.where(col < seq_len, logits, _NEG_INF)
 
-    d_pad = q.shape[1]
-    m0 = jnp.full((bq,), _NEG_INF, dtype=jnp.float32)
-    l0 = jnp.zeros((bq,), dtype=jnp.float32)
-    acc0 = jnp.zeros((bq, d_pad), dtype=jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
+    m_prev = m_scr[:, 0]
+    l_prev = l_scr[:, 0]
+    m_cur = jnp.max(logits, axis=-1)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(logits - m_new[:, None])
+    corr = jnp.exp(m_prev - m_new)
+    l_new = l_prev * corr + jnp.sum(p, axis=-1)
+    acc_new = acc_scr[:] * corr[:, None] + jax.lax.dot_general(
+        p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_scr[:, 0] = m_new
+    l_scr[:, 0] = l_new
+    acc_scr[:] = acc_new
+
+    @pl.when(kb == num_kb - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:, 0][:, None]).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -162,8 +176,11 @@ def flash_attention(
 ) -> jnp.ndarray:
     """Pallas blockwise attention. q,k,v: (B, H, S, D) → (B, H, S, D).
 
-    Head dim is zero-padded to the 128-lane tile; zero key/query lanes do not
-    change Q·Kᵀ and zero value lanes are sliced away, so the result is exact.
+    Memory: O(block_q·d + block_k·d) VMEM regardless of S — full-cube
+    inference at 1024²+ (S ≥ 16384) runs without materializing S×S or
+    resident K/V. Head dim is zero-padded to the 128-lane tile; zero key
+    and query lanes do not change Q·Kᵀ and zero value lanes are sliced
+    away, so the result is exact.
     """
     b, h, s, d = q.shape
     scale = 1.0 / math.sqrt(d)
@@ -179,24 +196,36 @@ def flash_attention(
 
     qp, kp, vp = prep(q, s_pad_q), prep(k, s_pad_k), prep(v, s_pad_k)
     num_q_blocks = s_pad_q // block_q
+    num_k_blocks = s_pad_k // block_k
 
-    kernel = functools.partial(
-        _flash_kernel, block_k=block_k, seq_len=s, scale=scale
-    )
+    kernel = functools.partial(_flash_kernel, seq_len=s, scale=scale)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b * h, s_pad_q, d_pad), q.dtype),
-        grid=(b * h, num_q_blocks),
+        grid=(b * h, num_q_blocks, num_k_blocks),
         in_specs=[
-            pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j, kb: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad_k, d_pad), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, kb: (i, kb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad_k, d_pad), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, kb: (i, kb, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j, kb: (i, j, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),      # running max m
+            pltpu.VMEM((block_q, 1), jnp.float32),      # running sum l
+            pltpu.VMEM((block_q, d_pad), jnp.float32),  # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s_pad_q * s_pad_k * d_pad,
+            bytes_accessed=4 * b * h * (2 * s_pad_q + 2 * s_pad_k * num_q_blocks) * d_pad,
+            transcendentals=b * h * s_pad_q * s_pad_k,
+        ),
         interpret=interpret,
     )(qp, kp, vp)
     return out[:, :s, :d].reshape(b, h, s, d)

@@ -1,0 +1,65 @@
+"""Multi-host (multi-process) helpers over jax.distributed.
+
+Net-new capability (the reference is single-process). On a TPU pod each host
+runs the same program; ``initialize_distributed`` wires the JAX coordination
+service, and ``host_local_batch_to_global`` assembles a globally-sharded batch
+from each host's local shard so the data pipeline stays fully distributed:
+every host loads and crops only its slice, and the NamedSharding spans the
+whole mesh (collectives ride ICI, host work rides DCN only for coordination).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize jax.distributed (no-op when single-process args are absent).
+
+    On Cloud TPU the arguments are auto-detected from the environment; pass
+    them explicitly elsewhere (coordinator 'host:port', world size, rank).
+    """
+    if coordinator_address is None and num_processes is None:
+        # Auto-detection path (TPU pod metadata) or single-process fallback.
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single process — nothing to do
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def process_batch_slice(global_batch: int) -> slice:
+    """The [start, stop) sample range this process should load/crop."""
+    n = jax.process_count()
+    if global_batch % n != 0:
+        raise ValueError(f"global batch {global_batch} not divisible by {n} processes")
+    per = global_batch // n
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)
+
+
+def host_local_batch_to_global(
+    local_batch: np.ndarray, mesh: Mesh, data_axis: str = "data"
+) -> jax.Array:
+    """Assemble a globally-sharded array from per-process local batches.
+
+    ``local_batch`` holds only this process's samples; the result is a global
+    array of shape (sum of local batches, ...) sharded over ``data_axis``.
+    """
+    spec = P(data_axis, *([None] * (local_batch.ndim - 1)))
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), local_batch
+    )

@@ -74,6 +74,8 @@ def build_model(cfg: Config, channels: int) -> LowLightEnhanceNet:
     dtype = jnp.bfloat16 if cfg.precision == "bfloat16" else jnp.float32
     return LowLightEnhanceNet(
         input_channels=channels,
+        use_attention=cfg.use_attention,
+        use_transformer=cfg.use_transformer,
         attention_impl=cfg.attention_impl,
         dtype=dtype,
     )
@@ -243,6 +245,13 @@ class Trainer:
         if self.observer:
             self.observer.log_model_summary(self.state.params, ckpt_dir, self.mlflow)
 
+        profiling = False
+        if cfg.profile_dir:
+            # Trace the first epoch (post-compile steps land in the trace too;
+            # TensorBoard-compatible output).
+            jax.profiler.start_trace(cfg.profile_dir)
+            profiling = True
+
         for epoch in range(cfg.epoch):
             freeze = self.freeze_decom_epochs > 0 and epoch < self.freeze_decom_epochs
             if self.freeze_decom_epochs > 0:
@@ -318,6 +327,13 @@ class Trainer:
                     checkpoints.latest_path(ckpt_dir),
                     self.state.params, self.state.opt_state, epoch + 1,
                 )
+                if cfg.checkpoint_keep > 0:
+                    checkpoints.prune_checkpoints(ckpt_dir, cfg.checkpoint_keep)
+
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"Profiler trace written to {cfg.profile_dir}")
 
             if self.mlflow:
                 self.mlflow.log_metric("learning_rate", lr, step=epoch)

@@ -1,0 +1,49 @@
+"""Spatially-sharded inference must match single-device inference — XLA SPMD
+handles the conv halos and attention gathers; we verify numerics on the
+8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from sshslie_tpu.config import Config
+from sshslie_tpu.evaluate import Inferencer, ShardedInferencer
+from sshslie_tpu.parallel.mesh import make_mesh
+from sshslie_tpu.train import build_model, init_params
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = Config(channels=6, patch_size=32, attention_impl="xla")
+    model = build_model(cfg, 6)
+    params = init_params(model, 0, 32)
+    return model, params
+
+
+def test_sharded_matches_single_device(model_and_params, rng):
+    model, params = model_and_params
+    cube = rng.rand(128, 64, 6).astype(np.float32)
+    single = Inferencer(model)
+    R1, I1, Id1, S1 = single(params, cube)
+    mesh = make_mesh("8")
+    sharded = ShardedInferencer(model, mesh)
+    R8, I8, Id8, S8 = sharded(params, cube)
+    np.testing.assert_allclose(np.asarray(S8), np.asarray(S1), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(R8), np.asarray(R1), atol=5e-5)
+
+
+def test_sharded_handles_unaligned_height(model_and_params, rng):
+    """H not divisible by 8·n_devices — edge-pad + crop path.
+
+    Padding changes the global function slightly (attention sees the padded
+    tokens), so the oracle is a single-device run with the SAME padding.
+    """
+    model, params = model_and_params
+    cube = rng.rand(100, 64, 6).astype(np.float32)  # W already aligned
+    single_padded = Inferencer(model, pad_multiple=64)  # 8 devices × 8
+    _, _, _, S1 = single_padded(params, cube)
+    sharded = ShardedInferencer(model, make_mesh("8"))
+    _, _, _, S8 = sharded(params, cube)
+    assert S8.shape == S1.shape
+    np.testing.assert_allclose(np.asarray(S8), np.asarray(S1), atol=5e-5)
