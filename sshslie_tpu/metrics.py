@@ -270,7 +270,7 @@ def multi_img_bandwise_metrics(
 
     preds = sorted(_glob.glob(os.path.join(preds_path, "*.mat")))
     psnr_sum = ssim_sum = None
-    count = 0
+    count = 0  # pairs actually scored (unpaired predictions are skipped)
     for pred_img in preds:
         name = os.path.basename(pred_img)
         label_path = os.path.join(labels_path, name)
@@ -287,3 +287,37 @@ def multi_img_bandwise_metrics(
     if psnr_sum is None:
         raise ValueError("Number of files must be greater than 0")
     return psnr_sum / count, ssim_sum / count
+
+
+def _main(argv=None):
+    """Standalone metric CLI (replaces the reference's hardcoded __main__,
+    metrics.py:143-162): ``python -m sshslie_tpu.metrics <pred_glob>
+    <label_dir> [--data_max N] [--key_pred data] [--key_gt data]``."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Average PSNR/SSIM/SAM over .mat pairs")
+    ap.add_argument("im_dir", help="prediction glob, e.g. results/test/*.mat")
+    ap.add_argument("label_dir", help="ground-truth directory")
+    ap.add_argument("--data_min", type=float, default=None)
+    ap.add_argument("--data_max", type=float, default=None)
+    ap.add_argument("--key_pred", default="data")
+    ap.add_argument("--key_gt", default="data")
+    ap.add_argument("--device", default="", help="force a backend, e.g. 'cpu'")
+    args = ap.parse_args(argv)
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+    avg_psnr, avg_ssim, avg_sam = calc_metrics(
+        im_dir=os.path.normpath(args.im_dir),
+        label_dir=os.path.normpath(args.label_dir),
+        data_min=args.data_min,
+        data_max=args.data_max,
+        mat_key_prediction=args.key_pred,
+        mat_key_gt=args.key_gt,
+    )
+    print(f"\n===> Avg.PSNR : {avg_psnr:.4f}")
+    print(f"===> Avg.SSIM : {avg_ssim:.4f}")
+    print(f"===> Avg.SAM  : {avg_sam:.4f}")
+
+
+if __name__ == "__main__":
+    _main()

@@ -50,15 +50,21 @@ def test_sharded_step_matches_single_device(rng):
     coeffs = loss_coeffs(cfg)
     batch_np = rng.rand(8, 16, 16, 4).astype(np.float32)
 
+    def fresh(p):
+        # the train step donates its input state — each state needs own buffers
+        return jax.tree.map(lambda x: jnp.array(x, copy=True), p)
+
     # single device
-    s1 = TrainState(params=params, opt_state=tx.init(params),
+    p1 = fresh(params)
+    s1 = TrainState(params=p1, opt_state=tx.init(p1),
                     step=jnp.zeros((), jnp.int32))
     step1 = make_train_step(model, tx, coeffs)
     s1, t1 = step1(s1, jnp.asarray(batch_np), jnp.float32(1e-3))
 
     # 8-device mesh
     mesh = make_mesh("8")
-    s8 = TrainState(params=params, opt_state=tx.init(params),
+    p8 = fresh(params)
+    s8 = TrainState(params=p8, opt_state=tx.init(p8),
                     step=jnp.zeros((), jnp.int32))
     s8 = jax.device_put(s8, replicated_sharding(mesh))
     batch = jax.device_put(jnp.asarray(batch_np), batch_sharding(mesh))

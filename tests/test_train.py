@@ -40,14 +40,21 @@ def setup():
     model = build_model(cfg, cfg.channels)
     params = init_params(model, cfg.seed_value, cfg.patch_size)
     tx = make_optimizer()
-    state = TrainState(params=params, opt_state=tx.init(params),
-                       step=jnp.zeros((), jnp.int32))
+
+    def new_state():
+        # Fresh buffer copies per test: the train step donates its input
+        # state, so a shared fixture state would be deleted after one step.
+        p = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        return TrainState(params=p, opt_state=tx.init(p),
+                          step=jnp.zeros((), jnp.int32))
+
     step = make_train_step(model, tx, loss_coeffs(cfg))
-    return cfg, model, tx, state, step
+    return cfg, model, tx, new_state, step
 
 
 def test_loss_decreases(setup, rng):
-    cfg, model, tx, state, step = setup
+    cfg, model, tx, new_state, step = setup
+    state = new_state()
     batch = jnp.asarray(rng.rand(2, 16, 16, 6).astype(np.float32) * 0.2)
     first = None
     for _ in range(30):
@@ -92,7 +99,8 @@ def test_adam_update_matches_torch(rng):
 
 
 def test_freeze_decom_keeps_params_fixed(setup, rng):
-    cfg, model, tx, state, _ = setup
+    cfg, model, tx, new_state, _ = setup
+    state = new_state()
     frozen_step = make_train_step(model, tx, loss_coeffs(cfg), freeze_decom=True)
     batch = jnp.asarray(rng.rand(2, 16, 16, 6).astype(np.float32))
     before = jax.device_get(state.params["decomposition_net"])
