@@ -62,14 +62,18 @@ def main(argv=None):
     )
     lr = jnp.float32(1e-3)
 
-    def timed_chain(state, n):
-        """Dispatch n chained steps, then force a real device→host fetch of a
-        scalar that depends on the whole chain. On some transports
-        block_until_ready is not a true sync; float() is."""
+    def timed_chain(state, n, fetch_every=10):
+        """Dispatch n chained steps, forcing a real device→host scalar fetch
+        every ``fetch_every`` steps (bounds in-flight work on queued
+        transports) and at the end. On some transports block_until_ready is
+        not a true sync; float() is."""
         t0 = time.perf_counter()
         terms = None
-        for _ in range(n):
+        loss = 0.0
+        for i in range(n):
             state, terms = step(state, batch, lr)
+            if (i + 1) % fetch_every == 0:
+                loss = float(terms["total_loss"])
         loss = float(terms["total_loss"])
         return time.perf_counter() - t0, state, loss
 

@@ -152,3 +152,22 @@ def test_full_model_param_count_default_config():
     # DecompositionNet + IllumAdjustmentNet totals derived from the reference
     # layer table (model.py:25-47, 121-141); this pins accidental arch drift.
     assert n == 1_141_922, n
+
+
+def test_bfloat16_precision_mode():
+    """precision='bfloat16' computes convs in bf16 but returns float32
+    outputs (sigmoid/final casts), and the loss stays finite."""
+    import jax.numpy as jnp
+    from sshslie_tpu.config import Config
+    from sshslie_tpu.train import build_model, init_params
+
+    cfg = Config(channels=4, patch_size=16, precision="bfloat16",
+                 attention_impl="xla")
+    model = build_model(cfg, 4)
+    params = init_params(model, 0, 16)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 4).astype(np.float32))
+    R, I, Id, S = model.apply({"params": params}, x)
+    assert R.dtype == jnp.float32 and S.dtype == jnp.float32
+    assert np.isfinite(np.asarray(S)).all()
+    # params stay float32 (bf16 is compute dtype, not storage)
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(params))

