@@ -78,6 +78,7 @@ class Config:
     mesh_shape: str = ""                  # e.g. '8' or '4x2'; '' = all local devices, 1-D data mesh
     data_axis: str = "data"               # mesh axis name for batch sharding
     prefetch_batches: int = 2             # host-side pipeline depth
+    fused_pipeline: str = "auto"          # 'auto'|'on'|'off': on-device sampling+step graph
     log_every_step: int = 0               # 0 = per-epoch logging only (avoid device→host syncs)
     checkpoint_keep: int = 0              # 0 = keep all periodic checkpoints
     use_mlflow: bool = True               # no-op shim if mlflow isn't installed

@@ -149,6 +149,96 @@ def make_train_step(
     )
 
 
+def make_fused_train_step(
+    model: LowLightEnhanceNet,
+    tx: optax.GradientTransformation,
+    coeffs: Dict[str, float],
+    batch_size: int,
+    patch_size: int,
+    freeze_decom: bool = False,
+    mesh=None,
+    data_axis: str = "data",
+):
+    """Fully-fused step: on-device patch sampling + augmentation + forward +
+    loss + Adam in ONE jitted graph — zero host→device transfer per step.
+
+    The cube stack (N, H, W, C) lives in HBM; each step draws crop offsets and
+    augmentation modes from a jax PRNG key, gathers (B, P, P, C) patches with
+    ``dynamic_slice``, applies the 8-mode augmentation via ``lax.switch``, and
+    runs the training update. This removes the host sampler from the critical
+    path entirely (the reference crops in numpy inside the step loop,
+    model.py:300-312). Requires all cubes to share one shape — true for the
+    JYU/indoor datasets; the Trainer falls back to the host pipeline
+    otherwise.
+
+    Reference sampling semantics preserved: cyclic cube indexing by global
+    sample position (model.py:304) and crop offsets in [0, dim − patch)
+    exclusive (model.py:306-307). The RNG stream itself is jax's
+    threefry rather than numpy's MT (documented deviation).
+    """
+    from sshslie_tpu.utils.augment import augment_batch_jax
+
+    def loss_fn(params, batch):
+        R_low, I_low, I_delta, S, R_enh = model.apply(
+            {"params": params}, batch,
+            method=LowLightEnhanceNet.forward_with_redecomposition,
+        )
+        return total_loss(batch, R_low, I_low, I_delta, S, R_enh, coeffs)
+
+    def step_fn(state: TrainState, cubes: jnp.ndarray, key: jnp.ndarray,
+                batch_start: jnp.ndarray, lr: jnp.ndarray):
+        n, h, w, c = cubes.shape
+        kx, ky, km = jax.random.split(key, 3)
+        idx = (batch_start + jnp.arange(batch_size)) % n
+        xs = jax.random.randint(kx, (batch_size,), 0, h - patch_size)
+        ys = jax.random.randint(ky, (batch_size,), 0, w - patch_size)
+        modes = jax.random.randint(km, (batch_size,), 0, 8)
+
+        def crop(i, xi, yi):
+            return jax.lax.dynamic_slice(
+                cubes, (i, xi, yi, 0), (1, patch_size, patch_size, c)
+            )[0]
+
+        patches = jax.vmap(crop)(idx, xs, ys)
+        batch = augment_batch_jax(patches, modes)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch = jax.lax.with_sharding_constraint(
+                batch, NamedSharding(mesh, P(data_axis, None, None, None))
+            )
+
+        (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        if freeze_decom:
+            grads = _zero_decom_grads(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p - lr * u, state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), terms
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    replicated = replicated_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        donate_argnums=(0,),
+        in_shardings=(replicated, replicated, replicated, replicated, replicated),
+        out_shardings=(replicated, replicated),
+    )
+
+
+def stack_cubes(store: CubeStore) -> Optional[jnp.ndarray]:
+    """Device-resident (N, H, W, C) stack when all cubes share one shape."""
+    shapes = {c.shape for c in store.cubes}
+    if len(shapes) != 1:
+        return None
+    import numpy as np
+
+    return jnp.asarray(np.stack(store.cubes))
+
+
 class Trainer:
     """Epoch orchestration (reference train_model, model.py:236-341)."""
 
@@ -199,6 +289,16 @@ class Trainer:
             )
         return self._steps[freeze]
 
+    def _fused_step_for(self, freeze: bool):
+        key = ("fused", freeze)
+        if key not in self._steps:
+            self._steps[key] = make_fused_train_step(
+                self.model, self.tx, self.coeffs,
+                batch_size=self.cfg.batch_size, patch_size=self.cfg.patch_size,
+                freeze_decom=freeze, mesh=self.mesh, data_axis=self.cfg.data_axis,
+            )
+        return self._steps[key]
+
     def _lr_for_epoch(self, epoch: int) -> float:
         cfg = self.cfg
         unfreeze = self.freeze_decom_epochs if self.freeze_decom_epochs > 0 else 0
@@ -223,12 +323,30 @@ class Trainer:
         if eval_result_dir:
             os.makedirs(eval_result_dir, exist_ok=True)
 
-        from sshslie_tpu.data.native_sampler import make_sampler
+        # Pipeline selection: fully-fused on-device sampling when every cube
+        # shares one shape (fused_pipeline 'auto'/'on'), else the host-side
+        # native/Python sampler with threaded prefetch.
+        fused_cubes = None
+        if cfg.fused_pipeline in ("auto", "on"):
+            fused_cubes = stack_cubes(train_store)
+            if fused_cubes is None and cfg.fused_pipeline == "on":
+                raise ValueError(
+                    "fused_pipeline='on' requires all training cubes to share "
+                    "one shape; use 'auto' or 'off' for mixed-size datasets"
+                )
+            if fused_cubes is not None and self.mesh is not None:
+                fused_cubes = jax.device_put(
+                    fused_cubes, replicated_sharding(self.mesh)
+                )
+        sampler = None
+        if fused_cubes is None:
+            from sshslie_tpu.data.native_sampler import make_sampler
 
-        sampler = make_sampler(
-            train_store, cfg.batch_size, cfg.patch_size, seed=cfg.seed_value
-        )
-        num_batches = sampler.num_batches
+            sampler = make_sampler(
+                train_store, cfg.batch_size, cfg.patch_size, seed=cfg.seed_value
+            )
+        num_batches = len(train_store) // cfg.batch_size
+        base_key = jax.random.PRNGKey(cfg.seed_value)
         sharding = (
             batch_sharding(self.mesh, cfg.data_axis) if self.mesh is not None else None
         )
@@ -270,26 +388,46 @@ class Trainer:
                     print(f"Epoch {epoch+1}: DecompositionNet unfrozen")
 
             lr = self._lr_for_epoch(epoch)
-            step = self._step_for(freeze)
             epoch_sums = None
             count = 0
-            batches = Prefetcher(
-                sampler.epoch(), sharding=sharding, depth=cfg.prefetch_batches
-            )
-            for batch_id, batch in enumerate(batches):
-                self.state, terms = step(self.state, batch, jnp.float32(lr))
-                epoch_sums = (
-                    terms
-                    if epoch_sums is None
-                    else jax.tree.map(jnp.add, epoch_sums, terms)
-                )
-                count += 1
-                if cfg.log_every_step and (batch_id + 1) % cfg.log_every_step == 0:
-                    print(
-                        f"Epoch [{epoch+1}/{cfg.epoch}] "
-                        f"Batch [{batch_id+1}/{num_batches}] "
-                        f"Loss: {float(terms['total_loss']):.6f}"
+            if fused_cubes is not None:
+                step = self._fused_step_for(freeze)
+                for batch_id in range(num_batches):
+                    key = jax.random.fold_in(base_key, epoch * num_batches + batch_id)
+                    self.state, terms = step(
+                        self.state, fused_cubes, key,
+                        jnp.int32(batch_id * cfg.batch_size), jnp.float32(lr),
                     )
+                    epoch_sums = (
+                        terms if epoch_sums is None
+                        else jax.tree.map(jnp.add, epoch_sums, terms)
+                    )
+                    count += 1
+                    if cfg.log_every_step and (batch_id + 1) % cfg.log_every_step == 0:
+                        print(
+                            f"Epoch [{epoch+1}/{cfg.epoch}] "
+                            f"Batch [{batch_id+1}/{num_batches}] "
+                            f"Loss: {float(terms['total_loss']):.6f}"
+                        )
+            else:
+                step = self._step_for(freeze)
+                batches = Prefetcher(
+                    sampler.epoch(), sharding=sharding, depth=cfg.prefetch_batches
+                )
+                for batch_id, batch in enumerate(batches):
+                    self.state, terms = step(self.state, batch, jnp.float32(lr))
+                    epoch_sums = (
+                        terms
+                        if epoch_sums is None
+                        else jax.tree.map(jnp.add, epoch_sums, terms)
+                    )
+                    count += 1
+                    if cfg.log_every_step and (batch_id + 1) % cfg.log_every_step == 0:
+                        print(
+                            f"Epoch [{epoch+1}/{cfg.epoch}] "
+                            f"Batch [{batch_id+1}/{num_batches}] "
+                            f"Loss: {float(terms['total_loss']):.6f}"
+                        )
 
             # Single device→host sync per epoch.
             host_sums = (

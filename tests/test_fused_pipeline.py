@@ -1,0 +1,116 @@
+"""Fully-fused on-device pipeline: sampling semantics, training integration,
+mesh variant, and fallback behavior for mixed-size datasets."""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.io as sio
+
+import jax
+import jax.numpy as jnp
+
+from sshslie_tpu.config import Config
+from sshslie_tpu.data.datasets import CubeStore
+from sshslie_tpu.parallel.mesh import make_mesh, replicated_sharding
+from sshslie_tpu.train import (
+    TrainState,
+    Trainer,
+    build_model,
+    init_params,
+    loss_coeffs,
+    make_fused_train_step,
+    make_optimizer,
+    stack_cubes,
+)
+
+
+def _store(tmp_path, rng, shapes=((40, 48, 6),) * 3):
+    d = tmp_path / "cubes"
+    d.mkdir(parents=True, exist_ok=True)
+    for i, (h, w, c) in enumerate(shapes):
+        sio.savemat(d / f"c{i}.mat", {"data": rng.rand(h, w, c).astype(np.float32)})
+    return CubeStore(str(d), normalization=None)
+
+
+def test_stack_cubes(tmp_path, rng):
+    store = _store(tmp_path, rng)
+    stacked = stack_cubes(store)
+    assert stacked.shape == (3, 40, 48, 6)
+    mixed = _store(tmp_path / "m", rng, shapes=((40, 48, 6), (32, 48, 6)))
+    assert stack_cubes(mixed) is None
+
+
+def test_fused_step_trains(tmp_path, rng):
+    store = _store(tmp_path, rng)
+    cubes = stack_cubes(store)
+    cfg = Config(channels=6, patch_size=16, batch_size=2, attention_impl="xla")
+    model = build_model(cfg, 6)
+    params = init_params(model, 0, 16)
+    tx = make_optimizer()
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    step = make_fused_train_step(model, tx, loss_coeffs(cfg),
+                                 batch_size=2, patch_size=16)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(12):
+        state, terms = step(state, cubes, jax.random.fold_in(key, i),
+                            jnp.int32(0), jnp.float32(1e-3))
+        losses.append(float(terms["total_loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 12
+
+
+def test_fused_step_on_mesh(tmp_path, rng):
+    store = _store(tmp_path, rng)
+    cubes = stack_cubes(store)
+    mesh = make_mesh("8")
+    cfg = Config(channels=6, patch_size=16, batch_size=8, attention_impl="xla")
+    model = build_model(cfg, 6)
+    params = init_params(model, 0, 16)
+    tx = make_optimizer()
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    state = jax.device_put(state, replicated_sharding(mesh))
+    cubes = jax.device_put(cubes, replicated_sharding(mesh))
+    step = make_fused_train_step(model, tx, loss_coeffs(cfg),
+                                 batch_size=8, patch_size=16, mesh=mesh)
+    state, terms = step(state, cubes, jax.random.PRNGKey(1),
+                        jnp.int32(0), jnp.float32(1e-3))
+    assert np.isfinite(float(terms["total_loss"]))
+
+
+def test_trainer_uses_fused_pipeline(tmp_path, rng, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    store = _store(tmp_path, rng)
+    cfg = Config(channels=6, patch_size=16, batch_size=2, epoch=2,
+                 eval_every_epoch=100, plot_every_epoch=100,
+                 attention_impl="xla", fused_pipeline="on")
+    cfg.finalize()
+    trainer = Trainer(cfg, channels=6)
+    trainer.fit(store, ckpt_dir=str(tmp_path / "ck"))
+    assert ("fused", False) in trainer._steps
+    assert len(trainer.all_epoch_losses["total_loss"]) == 2
+    assert all(np.isfinite(v) for v in trainer.all_epoch_losses["total_loss"])
+
+
+def test_trainer_falls_back_on_mixed_sizes(tmp_path, rng, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    store = _store(tmp_path, rng, shapes=((40, 48, 6), (36, 44, 6)))
+    cfg = Config(channels=6, patch_size=16, batch_size=2, epoch=1,
+                 eval_every_epoch=100, plot_every_epoch=100,
+                 attention_impl="xla", fused_pipeline="auto")
+    cfg.finalize()
+    trainer = Trainer(cfg, channels=6)
+    trainer.fit(store, ckpt_dir=str(tmp_path / "ck"))
+    assert ("fused", False) not in trainer._steps  # host path used
+    assert False in trainer._steps
+
+    cfg2 = Config(channels=6, patch_size=16, batch_size=2, epoch=1,
+                  attention_impl="xla", fused_pipeline="on")
+    cfg2.finalize()
+    trainer2 = Trainer(cfg2, channels=6)
+    with pytest.raises(ValueError, match="fused_pipeline"):
+        trainer2.fit(store, ckpt_dir=str(tmp_path / "ck2"))
