@@ -15,7 +15,6 @@ Replaces reference evaluate_model/test_model (model.py:343-443):
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 from typing import Any, Dict, Optional

@@ -1,0 +1,125 @@
+"""PyTorch-checkpoint interop: import reference ``.pth`` weights.
+
+Users of the reference train with torch and hold ``model_epoch_*.pth``
+checkpoints (reference model.py:595-601: {epoch, model_state_dict,
+optimizer_state_dict}) or bare state_dicts (main.py:200-205). This module maps
+those tensors onto our Flax parameter tree so existing models run on TPU
+unchanged — the same mapping the parity suite uses to prove bit-level
+equivalence (tests/test_reference_parity.py).
+
+Layout translation:
+  * Conv2d       (out, in, kh, kw)   → HWIO (kh, kw, in, out)
+  * ConvTranspose2d (in, out, kh, kw) → our (kh, kw, in, out)
+  * Linear       (out, in)            → (in, out)
+
+Loading ``.pth`` requires torch (CPU build is fine); import it before any
+jax/TPU initialization in fresh processes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _conv_w(t) -> np.ndarray:
+    return np.asarray(t).transpose(2, 3, 1, 0)
+
+
+def _convT_w(t) -> np.ndarray:
+    return np.asarray(t).transpose(2, 3, 0, 1)
+
+
+def _lin_w(t) -> np.ndarray:
+    return np.asarray(t).T
+
+
+def torch_state_dict_to_flax(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Map a reference ``LowLightEnhance`` state_dict to our param tree.
+
+    Accepts numpy arrays or torch tensors as values. Raises KeyError with the
+    missing name if the state_dict does not look like the reference model.
+    """
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+          for k, v in state_dict.items()}
+
+    def conv(prefix: str) -> Dict[str, np.ndarray]:
+        return {"kernel": _conv_w(sd[prefix + ".weight"]),
+                "bias": np.asarray(sd[prefix + ".bias"])}
+
+    def lin(prefix: str) -> Dict[str, np.ndarray]:
+        return {"kernel": _lin_w(sd[prefix + ".weight"]),
+                "bias": np.asarray(sd[prefix + ".bias"])}
+
+    decom = {
+        "conv0": conv("decomposition_net.conv0.0"),
+        "shallow_conv": conv("decomposition_net.shallow_conv.0"),
+        "conv1": conv("decomposition_net.conv1.0"),
+        "conv2": conv("decomposition_net.conv2.0"),
+        "conv3": conv("decomposition_net.conv3.0"),
+        "deconv": {
+            "kernel": _convT_w(sd["decomposition_net.deconv.0.weight"]),
+            "bias": np.asarray(sd["decomposition_net.deconv.0.bias"]),
+        },
+        "conv5": conv("decomposition_net.conv5.0"),
+        "conv7": conv("decomposition_net.conv7.0"),
+        "recon": conv("decomposition_net.recon"),
+    }
+    illum: Dict[str, Any] = {
+        "conv0": conv("illum_adjust_net.conv0.0"),
+        "conv1": conv("illum_adjust_net.conv1.0"),
+        "conv2": conv("illum_adjust_net.conv2.0"),
+        "conv3": conv("illum_adjust_net.conv3.0"),
+        "deconv1": conv("illum_adjust_net.deconv1.0"),
+        "deconv2": conv("illum_adjust_net.deconv2.0"),
+        "deconv3": conv("illum_adjust_net.deconv3.0"),
+        "feature_fusion": conv("illum_adjust_net.feature_fusion.0"),
+        "final_conv": conv("illum_adjust_net.final_conv"),
+    }
+    if "illum_adjust_net.attn.q_linear.weight" in sd:
+        illum["attn"] = {
+            "q_linear": lin("illum_adjust_net.attn.q_linear"),
+            "k_linear": lin("illum_adjust_net.attn.k_linear"),
+            "v_linear": lin("illum_adjust_net.attn.v_linear"),
+            "ff_linear1": lin("illum_adjust_net.attn.ff_linear1"),
+            "ff_linear2": lin("illum_adjust_net.attn.ff_linear2"),
+        }
+    elif "illum_adjust_net.attn.fc1.weight" in sd:  # SEBlock variant
+        illum["attn"] = {
+            "fc1": lin("illum_adjust_net.attn.fc1"),
+            "fc2": lin("illum_adjust_net.attn.fc2"),
+        }
+    return {"decomposition_net": decom, "illum_adjust_net": illum}
+
+
+def load_torch_checkpoint(path: str) -> Tuple[Dict[str, Any], Optional[int]]:
+    """Load a reference ``.pth`` (full checkpoint or bare state_dict).
+
+    Returns (flax_params, epoch-or-None).
+    """
+    import torch  # CPU build; must be imported before jax in fresh processes
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
+        return (torch_state_dict_to_flax(ckpt["model_state_dict"]),
+                int(ckpt.get("epoch", 0)) or None)
+    return torch_state_dict_to_flax(ckpt), None
+
+
+def import_torch_checkpoint(pth_path: str, out_path: str) -> str:
+    """Convert a reference ``.pth`` into our msgpack params file (loadable by
+    ``pretrained_model`` warm start). Returns the written path."""
+    from flax import serialization
+
+    params, epoch = load_torch_checkpoint(pth_path)
+    payload = serialization.to_state_dict(params)
+    if epoch is not None:
+        payload = {"epoch": np.asarray(epoch, dtype=np.int64), "params": payload}
+    blob = serialization.msgpack_serialize(payload)
+    if not out_path.endswith(".ckpt"):
+        out_path += ".ckpt"
+    with open(out_path, "wb") as fh:
+        fh.write(blob)
+    print(f"Imported {pth_path} → {out_path}")
+    return out_path

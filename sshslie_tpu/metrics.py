@@ -27,10 +27,9 @@ metrics.py:101-141 (with the Windows-only path split fixed, SURVEY.md §2.4.3).
 
 from __future__ import annotations
 
-import functools
 import glob as _glob
 import os
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ whole mesh (collectives ride ICI, host work rides DCN only for coordination).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

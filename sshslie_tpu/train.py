@@ -19,10 +19,8 @@ weight decay, bias-corrected moments) — optax.scale_by_adam matches exactly.
 
 from __future__ import annotations
 
-import functools
 import os
-import time
-from typing import Any, Dict, Iterator, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +31,7 @@ from flax.core import FrozenDict
 
 from sshslie_tpu import checkpoints
 from sshslie_tpu.config import Config
-from sshslie_tpu.data.datasets import CubeStore, PatchSampler, Prefetcher
+from sshslie_tpu.data.datasets import CubeStore, Prefetcher
 from sshslie_tpu.models.enhance import LowLightEnhanceNet
 from sshslie_tpu.ops.losses import total_loss
 from sshslie_tpu.parallel.mesh import batch_sharding, replicated_sharding

@@ -50,64 +50,11 @@ def ref_model_cls():
     return ref_model.LowLightEnhance
 
 
-def _conv_w(t):  # torch Conv2d (out,in,kh,kw) → HWIO
-    return jnp.asarray(t.detach().numpy().transpose(2, 3, 1, 0))
-
-
-def _convT_w(t):  # torch ConvTranspose2d (in,out,kh,kw) → our (kh,kw,in,out)
-    return jnp.asarray(t.detach().numpy().transpose(2, 3, 0, 1))
-
-
-def _lin_w(t):  # torch Linear (out,in) → (in,out)
-    return jnp.asarray(t.detach().numpy().T)
-
-
-def _b(t):
-    return jnp.asarray(t.detach().numpy())
-
-
 def torch_to_flax_params(ref) -> dict:
-    sd = {k: v for k, v in ref.state_dict().items()}
+    """Shared production mapping (sshslie_tpu/interop.py) as jnp arrays."""
+    from sshslie_tpu.interop import torch_state_dict_to_flax
 
-    def conv(prefix):
-        return {"kernel": _conv_w(sd[prefix + ".weight"]), "bias": _b(sd[prefix + ".bias"])}
-
-    def lin(prefix):
-        return {"kernel": _lin_w(sd[prefix + ".weight"]), "bias": _b(sd[prefix + ".bias"])}
-
-    decom = {
-        "conv0": conv("decomposition_net.conv0.0"),
-        "shallow_conv": conv("decomposition_net.shallow_conv.0"),
-        "conv1": conv("decomposition_net.conv1.0"),
-        "conv2": conv("decomposition_net.conv2.0"),
-        "conv3": conv("decomposition_net.conv3.0"),
-        "deconv": {
-            "kernel": _convT_w(sd["decomposition_net.deconv.0.weight"]),
-            "bias": _b(sd["decomposition_net.deconv.0.bias"]),
-        },
-        "conv5": conv("decomposition_net.conv5.0"),
-        "conv7": conv("decomposition_net.conv7.0"),
-        "recon": conv("decomposition_net.recon"),
-    }
-    illum = {
-        "conv0": conv("illum_adjust_net.conv0.0"),
-        "conv1": conv("illum_adjust_net.conv1.0"),
-        "conv2": conv("illum_adjust_net.conv2.0"),
-        "conv3": conv("illum_adjust_net.conv3.0"),
-        "attn": {
-            "q_linear": lin("illum_adjust_net.attn.q_linear"),
-            "k_linear": lin("illum_adjust_net.attn.k_linear"),
-            "v_linear": lin("illum_adjust_net.attn.v_linear"),
-            "ff_linear1": lin("illum_adjust_net.attn.ff_linear1"),
-            "ff_linear2": lin("illum_adjust_net.attn.ff_linear2"),
-        },
-        "deconv1": conv("illum_adjust_net.deconv1.0"),
-        "deconv2": conv("illum_adjust_net.deconv2.0"),
-        "deconv3": conv("illum_adjust_net.deconv3.0"),
-        "feature_fusion": conv("illum_adjust_net.feature_fusion.0"),
-        "final_conv": conv("illum_adjust_net.final_conv"),
-    }
-    return {"decomposition_net": decom, "illum_adjust_net": illum}
+    return jax.tree.map(jnp.asarray, torch_state_dict_to_flax(ref.state_dict()))
 
 
 @pytest.fixture(scope="module")
@@ -190,3 +137,40 @@ def test_psnr_equivalence_of_outputs(paired_models, rng):
     cross = float(psnr(jnp.asarray(np.asarray(S_j)[0]),
                        jnp.asarray(S_t.numpy().transpose(0, 2, 3, 1)[0]), 1.0))
     assert cross > 60.0, cross
+
+
+def test_pth_checkpoint_import_cli(paired_models, tmp_path, rng):
+    """scripts/import_torch_checkpoint.py converts a real .pth into a warm-
+    startable params file whose outputs match the torch model."""
+    ref, ours, params, C = paired_models
+    pth = tmp_path / "model_epoch_latest.pth"
+    torch.save({"epoch": 7, "model_state_dict": ref.state_dict(),
+                "optimizer_state_dict": {}}, str(pth))
+
+    from sshslie_tpu.interop import import_torch_checkpoint
+    out = import_torch_checkpoint(str(pth), str(tmp_path / "imported"))
+
+    from sshslie_tpu import checkpoints
+    loaded, epoch = checkpoints.load_pretrained_params(out, params)
+    assert epoch == 7
+    x = rng.rand(1, 16, 16, C).astype(np.float32)
+    with torch.no_grad():
+        _, _, _, S_t = ref.forward(torch.tensor(x.transpose(0, 3, 1, 2)))
+    _, _, _, S_j = ours.apply({"params": loaded}, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(S_j), S_t.numpy().transpose(0, 2, 3, 1), atol=2e-5
+    )
+
+
+def test_bare_state_dict_import(paired_models, tmp_path):
+    ref, ours, params, C = paired_models
+    pth = tmp_path / "bare.pth"
+    torch.save(ref.state_dict(), str(pth))
+    from sshslie_tpu.interop import load_torch_checkpoint
+    flax_params, epoch = load_torch_checkpoint(str(pth))
+    assert epoch is None
+    a = jax.tree.leaves(flax_params)
+    b = jax.tree.leaves(params)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-7)
