@@ -11,6 +11,12 @@ selection), with the reference's quirks resolved explicitly:
     default; pass ``rescale_by_max=False`` for the un-quirked behavior.
   * ``save_hsi`` strips a hardcoded 4-char extension (reference utils.py:174);
     we split the extension properly.
+
+Beyond the reference: MATLAB v7.3 (HDF5) files are supported transparently —
+``load_hsi`` falls back to h5py when scipy refuses a v7.3 file, and
+``save_hsi(..., fmt='v7.3')`` writes HDF5 for cubes past scipy's 2**31-byte
+matrix limit. v7.3 stores arrays column-major, so axes are reversed on both
+paths to keep the in-memory layout (H, W, C).
 """
 
 from __future__ import annotations
@@ -20,6 +26,46 @@ from typing import Optional, Tuple
 
 import numpy as np
 import scipy.io as sio
+
+
+def _load_mat_v73(file: str, mat_key: str) -> np.ndarray:
+    """Read one variable from a MATLAB v7.3 (HDF5) file.
+
+    MATLAB writes column-major; h5py presents the raw layout, i.e. the axes
+    arrive reversed ((C, W, H) for an (H, W, C) cube) — transpose restores
+    MATLAB's logical order.
+    """
+    import h5py
+
+    with h5py.File(file, "r") as fh:
+        if mat_key not in fh:
+            raise KeyError(
+                f"{file}: variable {mat_key!r} not found; available: "
+                f"{[k for k in fh.keys() if not k.startswith('#')]}"
+            )
+        arr = np.asarray(fh[mat_key])
+    return arr.transpose(tuple(reversed(range(arr.ndim))))
+
+
+def _save_mat_v73(out: str, data: np.ndarray, key: str) -> None:
+    """Write a v7.3-compatible HDF5 .mat: MATLAB 512-byte header userblock,
+    reversed axes, and the MATLAB_class attribute."""
+    import h5py
+
+    data = np.asarray(data)
+    with h5py.File(out, "w", userblock_size=512) as fh:
+        dset = fh.create_dataset(
+            key, data=data.transpose(tuple(reversed(range(data.ndim))))
+        )
+        kind = {"f": "double" if data.dtype.itemsize == 8 else "single",
+                "i": "int32", "u": "uint16"}.get(data.dtype.kind, "double")
+        dset.attrs["MATLAB_class"] = np.bytes_(kind)
+    # MATLAB MAT-file header: descriptive text, then version 0x0200 + 'IM'
+    # endian marker at bytes 124-127 (what scipy sniffs to report v7.3).
+    header = b"MATLAB 7.3 MAT-file, written by sshslie_tpu; HDF5-based format"
+    header = header.ljust(116) + b"\x00" * 8 + b"\x00\x02" + b"IM"
+    with open(out, "r+b") as fh:
+        fh.write(header)
 
 
 def load_hsi(
@@ -36,7 +82,16 @@ def load_hsi(
     utils.py:36-57 exactly (including the clamp of negatives to zero after
     global normalization, reference utils.py:47).
     """
-    mat = sio.loadmat(file)
+    try:
+        mat = sio.loadmat(file)
+    except (NotImplementedError, ValueError):
+        # scipy refuses MATLAB v7.3 (HDF5) files (NotImplementedError with a
+        # MATLAB header, ValueError for bare HDF5) — read via h5py instead.
+        import h5py
+
+        if not h5py.is_hdf5(file):
+            raise
+        mat = {mat_key: _load_mat_v73(file, mat_key)}
     if mat_key not in mat:
         raise KeyError(
             f"{file}: variable {mat_key!r} not found; available: "
@@ -71,18 +126,30 @@ def save_hsi(
     data: np.ndarray,
     postfix: Optional[str] = None,
     key: str = "data",
+    fmt: str = "auto",
 ) -> str:
     """Save an (H, W, C) cube to ``.mat`` under ``key`` (reference utils.py:171-178).
 
     Returns the path actually written. Unlike the reference, the extension is
     split with ``os.path.splitext`` rather than ``filepath[:-4]``.
+
+    ``fmt``: 'v7' (scipy), 'v7.3' (HDF5 via h5py), or 'auto' — v7 unless the
+    cube exceeds scipy's 2**31-byte matrix limit.
     """
     base, _ = os.path.splitext(filepath)
     if postfix:
         base += postfix
     out = base + ".mat"
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
-    sio.savemat(out, {key: np.asarray(data)})
+    data = np.asarray(data)
+    if fmt == "auto":
+        fmt = "v7.3" if data.nbytes >= 2**31 else "v7"
+    if fmt == "v7.3":
+        _save_mat_v73(out, data, key)
+    elif fmt == "v7":
+        sio.savemat(out, {key: data})
+    else:
+        raise ValueError(f"unknown .mat format {fmt!r} (use 'v7', 'v7.3', 'auto')")
     return out
 
 

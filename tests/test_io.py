@@ -38,6 +38,52 @@ def test_save_custom_key_and_postfix(tmp_path, rng):
     assert np.allclose(sio.loadmat(path)["ref"], cube)
 
 
+def test_v73_save_load_roundtrip(tmp_path, rng):
+    cube = rng.rand(7, 9, 5).astype(np.float32)
+    path = save_hsi(str(tmp_path / "h5.mat"), cube, fmt="v7.3")
+    # scipy must refuse it (proves it's a real v7.3/HDF5 file) …
+    with pytest.raises(NotImplementedError):
+        sio.loadmat(path)
+    # … and load_hsi must fall back to the HDF5 reader with MATLAB's logical
+    # (H, W, C) axis order restored.
+    out = load_hsi(path)
+    np.testing.assert_array_equal(out, cube)
+
+
+def test_v73_matches_matlab_axis_convention(tmp_path):
+    # MATLAB v7.3 stores column-major: an (H, W, C) array appears as a
+    # (C, W, H) HDF5 dataset. Write that layout by hand and check load_hsi
+    # recovers the logical cube.
+    import h5py
+
+    cube = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)
+    with h5py.File(tmp_path / "manual.mat", "w") as fh:
+        fh.create_dataset("data", data=cube.transpose(2, 1, 0))
+    out = load_hsi(str(tmp_path / "manual.mat"))
+    np.testing.assert_array_equal(out, cube)
+
+
+def test_v73_normalization_path(tmp_path, rng):
+    cube = (rng.rand(6, 6, 4) * 4000).astype(np.float32)
+    path = save_hsi(str(tmp_path / "n.mat"), cube, fmt="v7.3")
+    out = load_hsi(path, normalization="global_normalization", max_val=4095.0)
+    assert out.max() == pytest.approx(1.0)
+
+
+def test_save_hsi_rejects_unknown_format(tmp_path, rng):
+    with pytest.raises(ValueError):
+        save_hsi(str(tmp_path / "b.mat"), rng.rand(2, 2, 2), fmt="v6")
+
+
+def test_v73_missing_key_raises(tmp_path, rng):
+    import h5py
+
+    with h5py.File(tmp_path / "k.mat", "w") as fh:
+        fh.create_dataset("other", data=rng.rand(2, 2))
+    with pytest.raises(KeyError):
+        load_hsi(str(tmp_path / "k.mat"), mat_key="data")
+
+
 def test_load_missing_key_raises(tmp_path, rng):
     sio.savemat(tmp_path / "z.mat", {"other": rng.rand(2, 2, 2)})
     with pytest.raises(KeyError):
