@@ -179,6 +179,10 @@ def main(cfg: Config) -> None:
                 )
                 run_test(trainer, cfg)
                 run_eval_metrics(cfg, mlflow)
+            elif cfg.phase == "serve":
+                from sshslie_tpu.serve import serve_from_config
+
+                serve_from_config(cfg, mesh=mesh)
             else:
                 raise ValueError(f"unknown phase {cfg.phase!r}")
 

@@ -85,6 +85,10 @@ class Config:
     jit_cache_dir: str = "~/.cache/sshslie_tpu/xla"  # persistent XLA compilation cache ('' = disabled)
     profile_dir: str = ""                 # write a jax.profiler trace here when set
     eval_pad_multiple: int = 1            # >1: edge-pad H,W to a multiple for bucketed jit shapes
+    serve_host: str = "127.0.0.1"         # phase=serve: bind address
+    serve_port: int = 8900                # phase=serve: port (0 = ephemeral)
+    serve_pad_multiple: int = 64          # phase=serve: shape-bucket granularity
+    serve_warmup: str = ""                # phase=serve: pre-compile shapes, e.g. '512x512,1024x1024'
 
     # --- derived (filled by finalize(); do not set in YAML) ---
     timestamp: str = ""
@@ -102,10 +106,11 @@ class Config:
         if not self.timestamp:
             self.timestamp = f"{now:%Y%m%d_%H%M%S}"
         postfix = ""
-        if self.phase == "test":
+        if self.phase in ("test", "serve"):
             postfix = "_test_" + self.timestamp
             # Reference hardcodes the train-run timestamp in code (main.py:80);
-            # here it is the test_timestamp config field.
+            # here it is the test_timestamp config field. phase=serve resolves
+            # its checkpoint dir the same way.
             if self.test_timestamp:
                 self.timestamp = self.test_timestamp
         self.full_model_name = f"{self.model_name}_{self.timestamp}{postfix}"

@@ -1,0 +1,326 @@
+"""Persistent inference serving for enhanced-cube requests.
+
+Net-new capability (the reference has only the batch test phase,
+model.py:406-443). A long-lived process keeps the model compiled and the
+params resident in HBM so per-request latency is inference-only:
+
+  * **Shape buckets**: incoming cubes are edge-padded up to a multiple of
+    ``pad_multiple``, so JAX's jit cache compiles once per bucket instead of
+    once per exact cube size; buckets can be pre-compiled at startup
+    (``warmup``) to take the 20-40 s XLA compile off the first request.
+  * **Device serialization**: one chip ⇒ requests are serialized through a
+    lock; the HTTP layer threads handle parsing/serialization concurrently
+    so host-side work overlaps device work.
+  * **Same math as the batch path**: normalization on the way in matches
+    ``CubeStore``; denormalization of S on the way out matches
+    evaluate._save_outputs (reference model.py:371-372).
+
+HTTP surface (stdlib only):
+
+  * ``GET /health`` → backend, params checksum, compiled buckets.
+  * ``GET /stats``  → request count, latency aggregates.
+  * ``POST /enhance`` — body is a ``.mat`` file; query string: ``key`` (input
+    variable, default config ``mat_key``), ``artifacts=1`` to include
+    R/I_low/I_delta. Response is a ``.mat`` file with the enhanced cube under
+    config ``mat_key_prediction``.
+
+CLI: ``python -m sshslie_tpu.serve --config config/x.yml --test_timestamp TS``
+or ``python main.py --config ... --phase serve``.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tempfile
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional, Sequence, Tuple
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from sshslie_tpu import checkpoints
+from sshslie_tpu.config import Config
+from sshslie_tpu.utils import io_hsi
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class EnhanceService:
+    """Checkpoint-backed enhancement with a shape-bucketed jit cache."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        channels: int,
+        checkpoint_path: Optional[str] = None,
+        params: Any = None,
+        pad_multiple: Optional[int] = None,
+        mesh=None,
+    ):
+        import jax
+
+        from sshslie_tpu.evaluate import Inferencer, ShardedInferencer
+        from sshslie_tpu.train import build_model, init_params
+
+        self.cfg = cfg
+        self.channels = channels
+        self.pad_multiple = int(pad_multiple or cfg.serve_pad_multiple)
+        self.model = build_model(cfg, channels)
+        if params is None:
+            params = init_params(self.model, cfg.seed_value, cfg.patch_size)
+            if checkpoint_path:
+                params, _epoch = checkpoints.load_pretrained_params(
+                    checkpoint_path, params
+                )
+        # Park the params on device once; every request reuses them.
+        self.params = jax.device_put(params)
+        if mesh is not None:
+            self._infer = ShardedInferencer(self.model, mesh, cfg.data_axis)
+            # ShardedInferencer pads internally per its mesh; bucket on top.
+        else:
+            self._infer = Inferencer(self.model, pad_multiple=1)
+        self._device_lock = threading.Lock()
+        self._stats_lock = threading.Lock()
+        self._buckets: set = set()
+        self.requests = 0
+        self.total_secs = 0.0
+        self.max_secs = 0.0
+
+    # -- core ---------------------------------------------------------------
+
+    def _bucket(self, h: int, w: int) -> Tuple[int, int]:
+        m = self.pad_multiple
+        return _round_up(h, m), _round_up(w, m)
+
+    def enhance(self, cube: np.ndarray, artifacts: bool = False) -> Dict[str, Any]:
+        """Enhance one raw (H, W, C) cube: normalize → forward → denormalize.
+
+        Returns {'S': cube, 'seconds': t} plus R/I_low/I_delta when
+        ``artifacts``. Thread-safe; device work is serialized.
+        """
+        import jax
+
+        cfg = self.cfg
+        if cube.ndim != 3 or cube.shape[-1] != self.channels:
+            raise ValueError(
+                f"expected (H, W, {self.channels}) cube, got {cube.shape}"
+            )
+        x = io_hsi.normalize_like_load(
+            cube.astype(np.float32), cfg.normalization, cfg.global_max, cfg.global_min
+        )
+        h, w, _ = x.shape
+        bh, bw = self._bucket(h, w)
+        if (bh, bw) != (h, w):
+            x = np.pad(x, ((0, bh - h), (0, bw - w), (0, 0)), mode="edge")
+        start = time.time()
+        with self._device_lock:
+            R, I, Id, S = self._infer(self.params, x)
+            jax.block_until_ready(S)
+        secs = time.time() - start
+        S = np.asarray(S)[:h, :w, :]
+        if cfg.global_min is not None and cfg.global_max is not None:
+            S = S * (cfg.global_max - cfg.global_min) + cfg.global_min
+        out: Dict[str, Any] = {"S": S, "seconds": secs}
+        if artifacts:
+            out["R_low"] = np.asarray(R)[:h, :w, :]
+            out["I_low"] = np.asarray(I)[:h, :w, :]
+            out["I_delta"] = np.asarray(Id)[:h, :w, :]
+        with self._stats_lock:
+            self.requests += 1
+            self.total_secs += secs
+            self.max_secs = max(self.max_secs, secs)
+            self._buckets.add((bh, bw))
+        return out
+
+    def warmup(self, shapes: Sequence[Tuple[int, int]]) -> None:
+        """Pre-compile the jit buckets for the given (H, W) shapes."""
+        import jax
+
+        for h, w in shapes:
+            bh, bw = self._bucket(h, w)
+            if (bh, bw) in self._buckets:
+                continue
+            dummy = np.zeros((bh, bw, self.channels), np.float32)
+            with self._device_lock:
+                _, _, _, S = self._infer(self.params, dummy)
+                jax.block_until_ready(S)
+            with self._stats_lock:
+                self._buckets.add((bh, bw))
+            print(f"Warmed bucket ({bh}, {bw})")
+
+    def stats(self) -> Dict[str, Any]:
+        with self._stats_lock:
+            n = self.requests
+            return {
+                "requests": n,
+                "avg_seconds": self.total_secs / n if n else 0.0,
+                "max_seconds": self.max_secs,
+                "buckets": sorted(list(self._buckets)),
+                "pad_multiple": self.pad_multiple,
+            }
+
+
+# -- HTTP layer -------------------------------------------------------------
+
+
+def _load_cube_bytes(body: bytes, key: str) -> np.ndarray:
+    """Parse a .mat payload (v7 via scipy from memory; v7.3 via temp file)."""
+    import scipy.io as sio
+
+    try:
+        mat = sio.loadmat(io.BytesIO(body))
+        if key not in mat:
+            raise KeyError(
+                f"variable {key!r} not found; available: "
+                f"{[k for k in mat if not k.startswith('__')]}"
+            )
+        return np.asarray(mat[key], dtype=np.float32)
+    except (NotImplementedError, ValueError):
+        with tempfile.NamedTemporaryFile(suffix=".mat", delete=False) as fh:
+            fh.write(body)
+            tmp = fh.name
+        try:
+            return io_hsi.load_hsi(tmp, mat_key=key, normalization=None)
+        finally:
+            os.unlink(tmp)
+
+
+def _make_handler(service: EnhanceService):
+    cfg = service.cfg
+
+    class Handler(BaseHTTPRequestHandler):
+        # Quiet the default per-request stderr lines.
+        def log_message(self, fmt, *args):  # noqa: N802
+            pass
+
+        def _json(self, code: int, payload: Dict[str, Any]) -> None:
+            blob = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
+
+        def do_GET(self):  # noqa: N802
+            path = urlparse(self.path).path
+            if path == "/health":
+                import jax
+
+                self._json(200, {
+                    "status": "ok",
+                    "backend": jax.default_backend(),
+                    "channels": service.channels,
+                    **service.stats(),
+                })
+            elif path == "/stats":
+                self._json(200, service.stats())
+            else:
+                self._json(404, {"error": f"unknown path {path}"})
+
+        def do_POST(self):  # noqa: N802
+            parsed = urlparse(self.path)
+            if parsed.path != "/enhance":
+                self._json(404, {"error": f"unknown path {parsed.path}"})
+                return
+            query = parse_qs(parsed.query)
+            key = query.get("key", [cfg.mat_key])[0]
+            artifacts = query.get("artifacts", ["0"])[0] in ("1", "true")
+            length = int(self.headers.get("Content-Length", "0"))
+            if length <= 0:
+                self._json(400, {"error": "empty body; POST a .mat file"})
+                return
+            body = self.rfile.read(length)
+            try:
+                cube = _load_cube_bytes(body, key)
+                result = service.enhance(cube, artifacts=artifacts)
+            except (KeyError, ValueError) as e:
+                self._json(400, {"error": str(e)})
+                return
+            payload = {cfg.mat_key_prediction: result["S"]}
+            if artifacts:
+                payload.update({
+                    "R_low": result["R_low"],
+                    "I_low": result["I_low"],
+                    "I_delta": result["I_delta"],
+                })
+            buf = io.BytesIO()
+            import scipy.io as sio
+
+            sio.savemat(buf, payload)
+            blob = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(blob)))
+            self.send_header("X-Inference-Seconds", f"{result['seconds']:.6f}")
+            self.end_headers()
+            self.wfile.write(blob)
+
+    return Handler
+
+
+class EnhanceServer:
+    """ThreadingHTTPServer wrapper; ``port=0`` picks an ephemeral port."""
+
+    def __init__(self, service: EnhanceService, host: str = "127.0.0.1", port: int = 8900):
+        self.service = service
+        self.httpd = ThreadingHTTPServer((host, port), _make_handler(service))
+        self.host, self.port = self.httpd.server_address[:2]
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> "EnhanceServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def serve_forever(self) -> None:
+        print(f"Serving on http://{self.host}:{self.port} "
+              f"(buckets of {self.service.pad_multiple}px)")
+        self.httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+def parse_warmup(spec: str) -> list[Tuple[int, int]]:
+    """'512x512,1024x768' → [(512, 512), (1024, 768)]."""
+    shapes = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        h, w = part.lower().split("x")
+        shapes.append((int(h), int(w)))
+    return shapes
+
+
+def serve_from_config(cfg: Config, mesh=None) -> None:
+    """main.py --phase serve entry: load the test checkpoint and serve."""
+    channels = cfg.channels
+    if channels is None:
+        raise ValueError("phase=serve requires an explicit 'channels' config")
+    ckpt = checkpoints.latest_path(cfg.test_model_dir)
+    if not os.path.exists(ckpt):
+        raise FileNotFoundError(
+            f"no checkpoint at {ckpt}; train first or set test_timestamp"
+        )
+    service = EnhanceService(cfg, channels, checkpoint_path=ckpt, mesh=mesh)
+    if cfg.serve_warmup:
+        service.warmup(parse_warmup(cfg.serve_warmup))
+    EnhanceServer(service, cfg.serve_host, cfg.serve_port).serve_forever()
+
+
+if __name__ == "__main__":
+    from sshslie_tpu.config import parse_args
+
+    _cfg = parse_args()
+    _cfg.phase = "serve"
+    serve_from_config(_cfg)

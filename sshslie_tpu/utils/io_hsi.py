@@ -98,7 +98,21 @@ def load_hsi(
             f"{[k for k in mat if not k.startswith('__')]}"
         )
     x = np.asarray(mat[mat_key], dtype=np.float32)
+    return normalize_like_load(
+        x, normalization, max_val=max_val, min_val=min_val,
+        rescale_by_max=rescale_by_max,
+    )
 
+
+def normalize_like_load(
+    x: np.ndarray,
+    normalization: Optional[str],
+    max_val: Optional[float] = None,
+    min_val: Optional[float] = None,
+    rescale_by_max: bool = True,
+) -> np.ndarray:
+    """Apply ``load_hsi``'s normalization semantics to an in-memory cube
+    (used by the serving path, which receives cubes over the wire)."""
     if normalization is None:
         return x
     if normalization == "self":

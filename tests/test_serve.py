@@ -1,0 +1,151 @@
+"""Serving path: EnhanceService math, shape buckets, and the HTTP surface."""
+
+import http.client
+import io
+import json
+
+import numpy as np
+import pytest
+import scipy.io as sio
+
+from sshslie_tpu.config import Config
+from sshslie_tpu.serve import EnhanceServer, EnhanceService, parse_warmup
+
+
+CHANNELS = 6
+
+
+@pytest.fixture(scope="module")
+def service():
+    cfg = Config(
+        channels=CHANNELS, patch_size=16, global_min=0.0, global_max=4095.0,
+        attention_impl="xla", serve_pad_multiple=16,
+    ).finalize()
+    return EnhanceService(cfg, CHANNELS)
+
+
+@pytest.fixture(scope="module")
+def server(service):
+    srv = EnhanceServer(service, port=0).start()
+    yield srv
+    srv.shutdown()
+
+
+def _post_mat(server, cube, query="", key="data"):
+    conn = http.client.HTTPConnection(server.host, server.port, timeout=60)
+    buf = io.BytesIO()
+    sio.savemat(buf, {key: cube})
+    conn.request("POST", "/enhance" + query, body=buf.getvalue())
+    resp = conn.getresponse()
+    body = resp.read()
+    conn.close()
+    return resp, body
+
+
+def test_enhance_matches_batch_path_math(service):
+    rng = np.random.RandomState(0)
+    cube = (rng.rand(20, 24, CHANNELS) * 4000).astype(np.float32)
+    out = service.enhance(cube)
+    S = out["S"]
+    assert S.shape == cube.shape
+    # Denormalization applied: outputs are back on the raw data scale.
+    assert S.max() > 1.5
+    assert out["seconds"] > 0
+
+
+def test_shape_buckets_shared(service):
+    rng = np.random.RandomState(1)
+    before = len(service.stats()["buckets"])
+    # 17x18 and 20x24 both pad to the (32, 32)-free (16-multiple) buckets:
+    # 17→32, 18→32 vs 20→32, 24→32 — same bucket, one compile.
+    service.enhance((rng.rand(17, 18, CHANNELS) * 100).astype(np.float32))
+    service.enhance((rng.rand(20, 24, CHANNELS) * 100).astype(np.float32))
+    stats = service.stats()
+    assert (32, 32) in [tuple(b) for b in stats["buckets"]]
+    assert len(stats["buckets"]) <= before + 1
+
+
+def test_enhance_rejects_wrong_channels(service):
+    with pytest.raises(ValueError):
+        service.enhance(np.zeros((8, 8, CHANNELS + 1), np.float32))
+
+
+def test_warmup_precompiles(service):
+    service.warmup([(40, 40)])
+    assert (48, 48) in [tuple(b) for b in service.stats()["buckets"]]
+
+
+def test_parse_warmup():
+    assert parse_warmup("512x512, 1024X768,") == [(512, 512), (1024, 768)]
+    assert parse_warmup("") == []
+
+
+def test_http_health(server):
+    conn = http.client.HTTPConnection(server.host, server.port, timeout=30)
+    conn.request("GET", "/health")
+    resp = conn.getresponse()
+    payload = json.loads(resp.read())
+    conn.close()
+    assert resp.status == 200
+    assert payload["status"] == "ok"
+    assert payload["channels"] == CHANNELS
+
+
+def test_http_enhance_roundtrip(server, service):
+    rng = np.random.RandomState(2)
+    cube = (rng.rand(18, 18, CHANNELS) * 4000).astype(np.float32)
+    resp, body = _post_mat(server, cube)
+    assert resp.status == 200
+    assert float(resp.headers["X-Inference-Seconds"]) > 0
+    mat = sio.loadmat(io.BytesIO(body))
+    S_http = np.asarray(mat["data"])
+    S_direct = service.enhance(cube)["S"]
+    np.testing.assert_allclose(S_http, S_direct, rtol=1e-5, atol=1e-5)
+
+
+def test_http_enhance_artifacts(server):
+    rng = np.random.RandomState(3)
+    cube = (rng.rand(16, 16, CHANNELS) * 100).astype(np.float32)
+    resp, body = _post_mat(server, cube, query="?artifacts=1")
+    assert resp.status == 200
+    mat = sio.loadmat(io.BytesIO(body))
+    assert {"data", "R_low", "I_low", "I_delta"} <= set(mat)
+    assert mat["R_low"].shape == cube.shape
+    assert mat["I_delta"].shape == (16, 16, 1)
+
+
+def test_http_custom_key(server):
+    rng = np.random.RandomState(4)
+    cube = (rng.rand(16, 16, CHANNELS) * 100).astype(np.float32)
+    resp, _ = _post_mat(server, cube, query="?key=ref", key="ref")
+    assert resp.status == 200
+
+
+def test_http_bad_requests(server):
+    # wrong variable name → 400 with a helpful message
+    rng = np.random.RandomState(5)
+    cube = (rng.rand(8, 8, CHANNELS)).astype(np.float32)
+    resp, body = _post_mat(server, cube, key="wrong")
+    assert resp.status == 400
+    assert "not found" in json.loads(body)["error"]
+    # empty body → 400
+    conn = http.client.HTTPConnection(server.host, server.port, timeout=30)
+    conn.request("POST", "/enhance", body=b"")
+    resp = conn.getresponse()
+    assert resp.status == 400
+    conn.close()
+    # unknown path → 404
+    conn = http.client.HTTPConnection(server.host, server.port, timeout=30)
+    conn.request("GET", "/nope")
+    resp = conn.getresponse()
+    assert resp.status == 404
+    conn.close()
+
+
+def test_stats_accumulate(server):
+    conn = http.client.HTTPConnection(server.host, server.port, timeout=30)
+    conn.request("GET", "/stats")
+    payload = json.loads(conn.getresponse().read())
+    conn.close()
+    assert payload["requests"] >= 4
+    assert payload["avg_seconds"] > 0
