@@ -55,6 +55,24 @@ class TrainState:
     step: jnp.ndarray  # int32 scalar
 
 
+class _SnapshotView:
+    """Read-only trainer facade over a host-side params snapshot.
+
+    Passed to the evaluator when ``async_eval`` is on, so evaluation sees the
+    params as of the eval epoch while the live state keeps training (and keeps
+    getting donated — the snapshot must be off-device before the next step).
+    """
+
+    def __init__(self, trainer: "Trainer", params_host: Any):
+        self.cfg = trainer.cfg
+        self.model = trainer.model
+
+        class _S:
+            params = params_host
+
+        self.state = _S()
+
+
 def loss_coeffs(cfg: Config) -> Dict[str, float]:
     return {
         "c_loss_reconstruction": float(cfg.c_loss_reconstruction),
@@ -361,6 +379,36 @@ class Trainer:
         if self.observer:
             self.observer.log_model_summary(self.state.params, ckpt_dir, self.mlflow)
 
+        eval_pool = None
+        pending_evals: list = []
+        if cfg.async_eval:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # One worker: evals are serialized among themselves but overlap
+            # the training epochs (roadmap: the train loop never stalls on
+            # eval-side .mat saves and metric computation).
+            eval_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="async-eval"
+            )
+
+        def _record_eval(ep: int, scores) -> None:
+            if scores is not None:
+                self.eval_metrics[ep] = scores
+                if self.observer and eval_result_dir:
+                    self.observer.plot_eval_metrics(
+                        self.eval_metrics,
+                        os.path.join(eval_result_dir, "eval_metrics.png"),
+                    )
+
+        def _drain_evals(block: bool) -> None:
+            remaining = []
+            for ep, fut in pending_evals:
+                if block or fut.done():
+                    _record_eval(ep, fut.result())
+                else:
+                    remaining.append((ep, fut))
+            pending_evals[:] = remaining
+
         profiling = False
         if cfg.profile_dir:
             # Trace the first epoch (post-compile steps land in the trace too;
@@ -445,16 +493,24 @@ class Trainer:
 
             if (epoch + 1) % cfg.eval_every_epoch == 0:
                 if evaluator is not None and eval_store is not None and eval_result_dir:
-                    scores = evaluator(
-                        self, eval_store, eval_result_dir, epoch + 1, label_dir
-                    )
-                    if scores is not None:
-                        self.eval_metrics[epoch + 1] = scores
-                        if self.observer:
-                            self.observer.plot_eval_metrics(
-                                self.eval_metrics,
-                                os.path.join(eval_result_dir, "eval_metrics.png"),
-                            )
+                    if eval_pool is not None:
+                        # Snapshot params to host *now* — the live buffers are
+                        # donated to the next step and become invalid.
+                        view = _SnapshotView(self, jax.device_get(self.state.params))
+                        pending_evals.append((
+                            epoch + 1,
+                            eval_pool.submit(
+                                evaluator, view, eval_store, eval_result_dir,
+                                epoch + 1, label_dir,
+                            ),
+                        ))
+                    else:
+                        _record_eval(
+                            epoch + 1,
+                            evaluator(
+                                self, eval_store, eval_result_dir, epoch + 1, label_dir
+                            ),
+                        )
                 checkpoints.save_checkpoint(
                     checkpoints.epoch_path(ckpt_dir, epoch + 1),
                     self.state.params, self.state.opt_state, epoch + 1,
@@ -475,7 +531,12 @@ class Trainer:
                 self.mlflow.log_metric("learning_rate", lr, step=epoch)
                 self.mlflow.log_metrics(avg, step=epoch)
             print(f"Epoch [{epoch+1}/{cfg.epoch}] Average Loss: {avg['total_loss']:.6f}")
+            if eval_pool is not None:
+                _drain_evals(block=False)
 
+        if eval_pool is not None:
+            _drain_evals(block=True)
+            eval_pool.shutdown(wait=True)
         if self.mlflow:
             self.mlflow.log_param(
                 "model_path", os.path.normpath(checkpoints.latest_path(ckpt_dir))

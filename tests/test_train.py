@@ -163,6 +163,51 @@ def test_pretrained_bare_params_load(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_trainer_fit_async_eval(tmp_path, rng):
+    """async_eval: the evaluator runs on a worker thread against a host-side
+    params snapshot; every eval epoch is recorded and snapshots evolve."""
+    import threading
+
+    import scipy.io as sio
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        os.makedirs("cubes", exist_ok=True)
+        for i in range(2):
+            sio.savemat(f"cubes/c{i}.mat",
+                        {"data": (rng.rand(24, 24, 6) * 4000).astype(np.float32)})
+        from sshslie_tpu.data.datasets import CubeStore
+
+        store = CubeStore("cubes", normalization="global_normalization",
+                          global_min=0.0, global_max=4095.0)
+        cfg = _tiny_cfg(epoch=3, eval_every_epoch=1, async_eval=True,
+                        global_min=0.0, global_max=4095.0)
+        trainer = Trainer(cfg, channels=6)
+
+        calls = []
+
+        def fake_evaluator(view, eval_store, out_dir, epoch, label_dir):
+            leaves = jax.tree.leaves(view.state.params)
+            assert all(isinstance(x, np.ndarray) for x in leaves), \
+                "snapshot must be host-side (donation safety)"
+            calls.append((epoch, threading.current_thread().name,
+                          float(sum(np.abs(x).sum() for x in leaves))))
+            return {"psnr": float(epoch), "ssim": 0.5, "sam": 0.1}
+
+        trainer.fit(store, eval_store=store, evaluator=fake_evaluator,
+                    ckpt_dir="ck", eval_result_dir="ev")
+        assert sorted(c[0] for c in calls) == [1, 2, 3]
+        assert all(c[1].startswith("async-eval") for c in calls)
+        # params keep training between snapshots
+        sums = [c[2] for c in sorted(calls)]
+        assert len(set(sums)) == 3
+        assert set(trainer.eval_metrics) == {1, 2, 3}
+        assert trainer.eval_metrics[2]["psnr"] == 2.0
+    finally:
+        os.chdir(cwd)
+
+
 def test_trainer_fit_integration(tmp_path, rng):
     """Two-epoch Trainer.fit on synthetic cubes: losses recorded, checkpoints
     written, decom-freeze path exercised."""
