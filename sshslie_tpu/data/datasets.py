@@ -133,19 +133,39 @@ class Prefetcher:
     ``sharding`` (a ``jax.sharding.Sharding``) controls placement; with a
     batch-axis NamedSharding over a data mesh each device receives its slice.
     Depth 2 is enough to hide host crop latency behind the TPU step.
+
+    Multi-host: pass ``process_slice`` (this process's sample range from
+    :func:`sshslie_tpu.parallel.distributed.process_batch_slice`) plus ``mesh``.
+    Each host keeps only its slice of the sampled batch and the global array is
+    assembled with ``jax.make_array_from_process_local_data`` — every host
+    draws the same RNG stream (sampling semantics identical to single-host)
+    but only transfers its shard to its devices.
     """
 
     _DONE = object()
 
-    def __init__(self, iterator, sharding=None, depth: int = 2):
+    def __init__(self, iterator, sharding=None, depth: int = 2,
+                 process_slice: Optional[slice] = None, mesh=None,
+                 data_axis: str = "data"):
         self._queue: queue.Queue = queue.Queue(maxsize=max(depth, 1))
         self._sharding = sharding
         self._err: Optional[BaseException] = None
+        if process_slice is not None and mesh is None:
+            raise ValueError("process_slice requires a mesh")
 
         def worker():
             try:
                 for batch in iterator:
-                    if self._sharding is not None:
+                    if process_slice is not None:
+                        from sshslie_tpu.parallel.distributed import (
+                            host_local_batch_to_global,
+                        )
+
+                        batch = host_local_batch_to_global(
+                            np.ascontiguousarray(batch[process_slice]),
+                            mesh, data_axis,
+                        )
+                    elif self._sharding is not None:
                         batch = jax.device_put(batch, self._sharding)
                     else:
                         batch = jax.device_put(batch)

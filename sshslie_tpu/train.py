@@ -351,9 +351,17 @@ class Trainer:
                     "one shape; use 'auto' or 'off' for mixed-size datasets"
                 )
             if fused_cubes is not None and self.mesh is not None:
-                fused_cubes = jax.device_put(
-                    fused_cubes, replicated_sharding(self.mesh)
-                )
+                if jax.process_count() > 1:
+                    # Every host holds the full (identical) cube stack; the
+                    # replicated spec makes it a global array without DCN
+                    # traffic beyond coordination.
+                    fused_cubes = jax.make_array_from_process_local_data(
+                        replicated_sharding(self.mesh), np.asarray(fused_cubes)
+                    )
+                else:
+                    fused_cubes = jax.device_put(
+                        fused_cubes, replicated_sharding(self.mesh)
+                    )
         sampler = None
         if fused_cubes is None:
             from sshslie_tpu.data.native_sampler import make_sampler
@@ -457,8 +465,15 @@ class Trainer:
                         )
             else:
                 step = self._step_for(freeze)
+                proc_slice = None
+                if self.mesh is not None and jax.process_count() > 1:
+                    from sshslie_tpu.parallel.distributed import process_batch_slice
+
+                    proc_slice = process_batch_slice(cfg.batch_size)
                 batches = Prefetcher(
-                    sampler.epoch(), sharding=sharding, depth=cfg.prefetch_batches
+                    sampler.epoch(), sharding=sharding, depth=cfg.prefetch_batches,
+                    process_slice=proc_slice, mesh=self.mesh,
+                    data_axis=cfg.data_axis,
                 )
                 for batch_id, batch in enumerate(batches):
                     self.state, terms = step(self.state, batch, jnp.float32(lr))

@@ -98,6 +98,62 @@ def test_sharded_multi_step_stability(rng):
     assert int(state.step) == 3
 
 
+def test_prefetcher_process_slice_assembles_global_batch(rng):
+    """Single-process degenerate case of the multi-host pipeline: the full
+    slice assembles a global array identical to the sampled batch, sharded on
+    the data axis."""
+    from sshslie_tpu.data.datasets import Prefetcher
+    from sshslie_tpu.parallel.distributed import process_batch_slice
+
+    mesh = make_mesh("8")
+    batches = [rng.rand(8, 4, 4, 3).astype(np.float32) for _ in range(3)]
+    sl = process_batch_slice(8)  # one process → slice(0, 8)
+    assert sl == slice(0, 8)
+    out = list(Prefetcher(iter(batches), process_slice=sl, mesh=mesh))
+    assert len(out) == 3
+    for got, want in zip(out, batches):
+        assert got.sharding.spec[0] == "data"
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_prefetcher_process_slice_requires_mesh():
+    from sshslie_tpu.data.datasets import Prefetcher
+
+    with pytest.raises(ValueError):
+        Prefetcher(iter([]), process_slice=slice(0, 4))
+
+
+def test_trainer_fit_host_pipeline_on_mesh(tmp_path, rng):
+    """Trainer.fit over the 8-device mesh with the host (non-fused) pipeline —
+    the path multi-host runs take, minus extra processes."""
+    import os
+
+    import scipy.io as sio
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        os.makedirs("cubes", exist_ok=True)
+        # Two cube shapes → stack_cubes fails → host pipeline selected.
+        sio.savemat("cubes/a.mat", {"data": (rng.rand(24, 24, 4) * 100).astype(np.float32)})
+        for i in range(7):
+            sio.savemat(f"cubes/b{i}.mat", {"data": (rng.rand(32, 32, 4) * 100).astype(np.float32)})
+        from sshslie_tpu.data.datasets import CubeStore
+        from sshslie_tpu.train import Trainer
+
+        store = CubeStore("cubes", normalization="self")
+        cfg = Config(channels=4, patch_size=16, batch_size=8, epoch=2,
+                     eval_every_epoch=100, plot_every_epoch=100,
+                     attention_impl="xla", mesh_shape="8")
+        cfg.finalize()
+        trainer = Trainer(cfg, channels=4, mesh=make_mesh("8"))
+        trainer.fit(store, ckpt_dir="ck")
+        assert len(trainer.all_epoch_losses["total_loss"]) == 2
+        assert all(np.isfinite(v) for v in trainer.all_epoch_losses["total_loss"])
+    finally:
+        os.chdir(cwd)
+
+
 def test_driver_dryrun_multichip():
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
