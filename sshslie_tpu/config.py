@@ -77,6 +77,7 @@ class Config:
     use_transformer: bool = True          # TransformerBlock variant (reference default)
     mesh_shape: str = ""                  # e.g. '8' or '4x2'; '' = all local devices, 1-D data mesh
     data_axis: str = "data"               # mesh axis name for batch sharding
+    space_axis: str = ""                  # 2-D mesh: also shard patch height on this axis (e.g. 'space')
     prefetch_batches: int = 2             # host-side pipeline depth
     fused_pipeline: str = "auto"          # 'auto'|'on'|'off': on-device sampling+step graph
     log_every_step: int = 0               # 0 = per-epoch logging only (avoid device→host syncs)

@@ -39,7 +39,10 @@ def make_mesh(
     """Build a Mesh over the given devices; default 1-D ('data',) over all."""
     shape = parse_mesh_shape(mesh_shape)
     if axis_names is None:
-        axis_names = ("data",) if len(shape) == 1 else ("data", "model")[: len(shape)]
+        # 2-D default data×space: the reference's workload trains at batch
+        # 1-2 (config/config.yml:11), so a pure data mesh strands chips; the
+        # second axis shards the patch height (spatial parallelism).
+        axis_names = ("data",) if len(shape) == 1 else ("data", "space")[: len(shape)]
     devs = np.asarray(devices if devices is not None else jax.devices())
     n_needed = int(np.prod(shape))
     if n_needed > devs.size:
@@ -50,6 +53,18 @@ def make_mesh(
 def batch_sharding(mesh: Mesh, data_axis: str = "data", ndim: int = 4) -> NamedSharding:
     """Shard the leading (batch) axis across the data mesh axis."""
     return NamedSharding(mesh, P(data_axis, *([None] * (ndim - 1))))
+
+
+def batch_space_sharding(
+    mesh: Mesh, data_axis: str = "data", space_axis: str = "space"
+) -> NamedSharding:
+    """Shard (B, H, W, C) on batch AND height — dp×sp over a 2-D mesh.
+
+    XLA GSPMD inserts the conv halo exchanges and attention gathers; no
+    manual collectives. Use when batch_size < device count (the reference's
+    batch 1-2 regime) so every chip still gets work.
+    """
+    return NamedSharding(mesh, P(data_axis, space_axis, None, None))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -127,12 +127,16 @@ def make_train_step(
     freeze_decom: bool = False,
     mesh=None,
     data_axis: str = "data",
+    space_axis: str = "",
 ):
     """Build the jitted train step: (state, batch, lr) → (state, terms).
 
     ``freeze_decom`` is static — train runs compile at most two variants.
     With a mesh, the batch argument is expected sharded on ``data_axis`` and
-    the state replicated; the returned state keeps its sharding.
+    the state replicated; the returned state keeps its sharding. With a 2-D
+    mesh and ``space_axis``, the patch height is sharded too (dp×sp — XLA
+    inserts conv halo exchanges and attention gathers), keeping all chips
+    busy at the reference's batch sizes of 1-2.
     """
 
     def loss_fn(params, batch):
@@ -156,7 +160,12 @@ def make_train_step(
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=donate)
     replicated = replicated_sharding(mesh)
-    batched = batch_sharding(mesh, data_axis)
+    if space_axis:
+        from sshslie_tpu.parallel.mesh import batch_space_sharding
+
+        batched = batch_space_sharding(mesh, data_axis, space_axis)
+    else:
+        batched = batch_sharding(mesh, data_axis)
     return jax.jit(
         step_fn,
         donate_argnums=donate,
@@ -174,6 +183,7 @@ def make_fused_train_step(
     freeze_decom: bool = False,
     mesh=None,
     data_axis: str = "data",
+    space_axis: str = "",
 ):
     """Fully-fused step: on-device patch sampling + augmentation + forward +
     loss + Adam in ONE jitted graph — zero host→device transfer per step.
@@ -220,8 +230,13 @@ def make_fused_train_step(
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            spec = (
+                P(data_axis, space_axis, None, None)
+                if space_axis
+                else P(data_axis, None, None, None)
+            )
             batch = jax.lax.with_sharding_constraint(
-                batch, NamedSharding(mesh, P(data_axis, None, None, None))
+                batch, NamedSharding(mesh, spec)
             )
 
         (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -302,6 +317,7 @@ class Trainer:
             self._steps[freeze] = make_train_step(
                 self.model, self.tx, self.coeffs,
                 freeze_decom=freeze, mesh=self.mesh, data_axis=self.cfg.data_axis,
+                space_axis=self.cfg.space_axis,
             )
         return self._steps[freeze]
 
@@ -312,6 +328,7 @@ class Trainer:
                 self.model, self.tx, self.coeffs,
                 batch_size=self.cfg.batch_size, patch_size=self.cfg.patch_size,
                 freeze_decom=freeze, mesh=self.mesh, data_axis=self.cfg.data_axis,
+                space_axis=self.cfg.space_axis,
             )
         return self._steps[key]
 
@@ -371,9 +388,16 @@ class Trainer:
             )
         num_batches = len(train_store) // cfg.batch_size
         base_key = jax.random.PRNGKey(cfg.seed_value)
-        sharding = (
-            batch_sharding(self.mesh, cfg.data_axis) if self.mesh is not None else None
-        )
+        sharding = None
+        if self.mesh is not None:
+            if cfg.space_axis:
+                from sshslie_tpu.parallel.mesh import batch_space_sharding
+
+                sharding = batch_space_sharding(
+                    self.mesh, cfg.data_axis, cfg.space_axis
+                )
+            else:
+                sharding = batch_sharding(self.mesh, cfg.data_axis)
         if self.mlflow:
             self.mlflow.log_params(
                 {

@@ -98,6 +98,62 @@ def test_sharded_multi_step_stability(rng):
     assert int(state.step) == 3
 
 
+def test_dp_sp_step_matches_single_device(rng):
+    """2-D data×space mesh (2×4): batch AND height sharded; numerics must
+    match the dense single-device step (GSPMD halo exchanges are exact)."""
+    from sshslie_tpu.parallel.mesh import batch_space_sharding
+
+    cfg = Config(channels=4, patch_size=32, attention_impl="xla")
+    model = build_model(cfg, cfg.channels)
+    params = init_params(model, 0, cfg.patch_size)
+    tx = make_optimizer()
+    coeffs = loss_coeffs(cfg)
+    batch_np = rng.rand(2, 32, 32, 4).astype(np.float32)
+
+    def fresh(p):
+        return jax.tree.map(lambda x: jnp.array(x, copy=True), p)
+
+    p1 = fresh(params)
+    s1 = TrainState(params=p1, opt_state=tx.init(p1), step=jnp.zeros((), jnp.int32))
+    s1, t1 = make_train_step(model, tx, coeffs)(s1, jnp.asarray(batch_np),
+                                                jnp.float32(1e-3))
+
+    mesh = make_mesh("2x4")
+    assert mesh.shape == {"data": 2, "space": 4}
+    p2 = fresh(params)
+    s2 = TrainState(params=p2, opt_state=tx.init(p2), step=jnp.zeros((), jnp.int32))
+    s2 = jax.device_put(s2, replicated_sharding(mesh))
+    batch = jax.device_put(jnp.asarray(batch_np), batch_space_sharding(mesh))
+    step = make_train_step(model, tx, coeffs, mesh=mesh, space_axis="space")
+    s2, t2 = step(s2, batch, jnp.float32(1e-3))
+
+    assert float(t2["total_loss"]) == pytest.approx(float(t1["total_loss"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-5)
+
+
+def test_fused_step_dp_sp(rng):
+    """Fused on-device sampling under a data×space mesh runs and is finite."""
+    from sshslie_tpu.train import make_fused_train_step
+
+    cfg = Config(channels=4, patch_size=32, attention_impl="xla")
+    model = build_model(cfg, cfg.channels)
+    params = init_params(model, 0, cfg.patch_size)
+    tx = make_optimizer()
+    mesh = make_mesh("2x4")
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    state = jax.device_put(state, replicated_sharding(mesh))
+    cubes = jax.device_put(jnp.asarray(rng.rand(3, 48, 48, 4).astype(np.float32)),
+                           replicated_sharding(mesh))
+    step = make_fused_train_step(model, tx, loss_coeffs(cfg), batch_size=2,
+                                 patch_size=32, mesh=mesh, space_axis="space")
+    state, terms = step(state, cubes, jax.random.PRNGKey(0), jnp.int32(0),
+                        jnp.float32(1e-3))
+    assert np.isfinite(float(terms["total_loss"]))
+    assert int(state.step) == 1
+
+
 def test_prefetcher_process_slice_assembles_global_batch(rng):
     """Single-process degenerate case of the multi-host pipeline: the full
     slice assembles a global array identical to the sampled batch, sharded on
