@@ -94,6 +94,56 @@ class ShardedInferencer:
         return R[0], I[0], Id[0], S[0]
 
 
+class BandShardedInferencer:
+    """Spectral (band-axis) sharded whole-cube inference over a device mesh.
+
+    For very wide cubes (224-band indoor data, SURVEY.md §0) the
+    channel-proportional work — the first decomposition conv reading all C
+    bands, the recon conv emitting C+1, the sigmoid splits and the (B,H,W,C)
+    input/output tensors themselves — is sharded across the mesh axis;
+    the fixed-width trunk (32-64 channels) stays replicated and XLA GSPMD
+    inserts the psums/gathers at the width transitions. Complements
+    :class:`ShardedInferencer` (height sharding): band sharding keeps each
+    band's full spatial context on one device, so there are no conv halo
+    exchanges — the collectives sit only at the channel-mixing convs.
+
+    Single-band outputs (I_low, I_delta) are returned replicated.
+    """
+
+    def __init__(self, model: LowLightEnhanceNet, mesh, band_axis: str = "data"):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.model = model
+        self.mesh = mesh
+        self._n_band = mesh.shape[band_axis]
+        if model.input_channels % self._n_band != 0:
+            raise ValueError(
+                f"band sharding needs channels ({model.input_channels}) divisible "
+                f"by the '{band_axis}' mesh axis ({self._n_band}); use "
+                f"ShardedInferencer (spatial) for this cube width"
+            )
+        banded = NamedSharding(mesh, P(None, None, None, band_axis))
+        rep = NamedSharding(mesh, P())
+        self._fn = jax.jit(
+            lambda params, x: model.apply({"params": params}, x),
+            in_shardings=(rep, banded),
+            # R and S carry C bands → sharded; I and I_delta are 1-channel.
+            out_shardings=(banded, rep, rep, banded),
+        )
+
+    def __call__(self, params: Any, cube: np.ndarray):
+        h, w, _ = cube.shape
+        ph = (8 - h % 8) % 8
+        pw = (8 - w % 8) % 8
+        x = jnp.asarray(cube)[None, ...]
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+        R, I, Id, S = self._fn(params, x)
+        if ph or pw:
+            R, I, Id, S = (t[:, :h, :w, :] for t in (R, I, Id, S))
+        return R[0], I[0], Id[0], S[0]
+
+
 def _save_outputs(
     cfg: Config,
     out_dir: str,

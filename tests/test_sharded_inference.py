@@ -1,6 +1,6 @@
-"""Spatially-sharded inference must match single-device inference — XLA SPMD
-handles the conv halos and attention gathers; we verify numerics on the
-8-device CPU mesh."""
+"""Sharded inference must match single-device inference — XLA SPMD handles
+the conv halos / channel-mixing collectives; we verify numerics on the
+8-device CPU mesh for both the spatial (height) and spectral (band) layouts."""
 
 import numpy as np
 import pytest
@@ -8,7 +8,11 @@ import pytest
 import jax
 
 from sshslie_tpu.config import Config
-from sshslie_tpu.evaluate import Inferencer, ShardedInferencer
+from sshslie_tpu.evaluate import (
+    BandShardedInferencer,
+    Inferencer,
+    ShardedInferencer,
+)
 from sshslie_tpu.parallel.mesh import make_mesh
 from sshslie_tpu.train import build_model, init_params
 
@@ -47,3 +51,28 @@ def test_sharded_handles_unaligned_height(model_and_params, rng):
     _, _, _, S8 = sharded(params, cube)
     assert S8.shape == S1.shape
     np.testing.assert_allclose(np.asarray(S8), np.asarray(S1), atol=5e-5)
+
+
+def test_band_sharded_matches_single_device(rng):
+    """Spectral sharding (C across 8 devices): exact vs the dense forward —
+    band sharding has no halo effects, only channel-mixing collectives."""
+    cfg = Config(channels=16, patch_size=32, attention_impl="xla")
+    model = build_model(cfg, 16)
+    params = init_params(model, 0, 32)
+    cube = rng.rand(40, 48, 16).astype(np.float32)
+    R1, I1, Id1, S1 = Inferencer(model)(params, cube)
+    banded = BandShardedInferencer(model, make_mesh("8"), band_axis="data")
+    R8, I8, Id8, S8 = banded(params, cube)
+    assert S8.shape == cube.shape
+    np.testing.assert_allclose(np.asarray(S8), np.asarray(S1), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(R8), np.asarray(R1), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(Id8), np.asarray(Id1), atol=5e-5)
+
+
+def test_band_sharded_rejects_uneven_channels():
+    """C=6 over 8 devices (non-divisible): pjit cannot shard the axis —
+    must fail fast with guidance instead of a cryptic pjit error."""
+    cfg = Config(channels=6, patch_size=32, attention_impl="xla")
+    model = build_model(cfg, 6)
+    with pytest.raises(ValueError, match="divisible"):
+        BandShardedInferencer(model, make_mesh("8"), band_axis="data")
