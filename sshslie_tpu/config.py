@@ -80,6 +80,7 @@ class Config:
     space_axis: str = ""                  # 2-D mesh: also shard patch height on this axis (e.g. 'space')
     prefetch_batches: int = 2             # host-side pipeline depth
     fused_pipeline: str = "auto"          # 'auto'|'on'|'off': on-device sampling+step graph
+    steps_per_dispatch: int = 1           # fused pipeline: scan K steps per device dispatch (amortizes launch latency)
     log_every_step: int = 0               # 0 = per-epoch logging only (avoid device→host syncs)
     checkpoint_keep: int = 0              # 0 = keep all periodic checkpoints
     use_mlflow: bool = True               # no-op shim if mlflow isn't installed

@@ -260,6 +260,102 @@ def make_fused_train_step(
     )
 
 
+def make_multistep_train_step(
+    model: LowLightEnhanceNet,
+    tx: optax.GradientTransformation,
+    coeffs: Dict[str, float],
+    batch_size: int,
+    patch_size: int,
+    freeze_decom: bool = False,
+    mesh=None,
+    data_axis: str = "data",
+    space_axis: str = "",
+):
+    """K fused train steps per dispatch via ``lax.scan``.
+
+    The b2 reference workload is dispatch-latency-bound on TPU (see
+    docs/PERFORMANCE.md): at ~12 ms/step a large fraction is host dispatch
+    through the relay, not device compute. Scanning K steps inside ONE jitted
+    graph amortizes that to 1/K per step. Sampling semantics are bit-identical
+    to :func:`make_fused_train_step`: the caller passes the same absolute
+    ``step_ids`` (epoch·num_batches + batch_id, for the RNG fold) and
+    ``batch_starts`` (batch_id·batch_size, for cyclic cube indexing) that the
+    per-step path would use, so toggling ``steps_per_dispatch`` does not
+    change the training trajectory.
+
+    Signature: (state, cubes, base_key, step_ids[K], batch_starts[K], lr)
+    → (state, terms summed over the K steps).
+    """
+    from sshslie_tpu.utils.augment import augment_batch_jax
+
+    def loss_fn(params, batch):
+        R_low, I_low, I_delta, S, R_enh = model.apply(
+            {"params": params}, batch,
+            method=LowLightEnhanceNet.forward_with_redecomposition,
+        )
+        return total_loss(batch, R_low, I_low, I_delta, S, R_enh, coeffs)
+
+    def one_step(state: TrainState, cubes, base_key, step_id, batch_start, lr):
+        n, h, w, c = cubes.shape
+        key = jax.random.fold_in(base_key, step_id)
+        kx, ky, km = jax.random.split(key, 3)
+        idx = (batch_start + jnp.arange(batch_size)) % n
+        xs = jax.random.randint(kx, (batch_size,), 0, h - patch_size)
+        ys = jax.random.randint(ky, (batch_size,), 0, w - patch_size)
+        modes = jax.random.randint(km, (batch_size,), 0, 8)
+
+        def crop(i, xi, yi):
+            return jax.lax.dynamic_slice(
+                cubes, (i, xi, yi, 0), (1, patch_size, patch_size, c)
+            )[0]
+
+        patches = jax.vmap(crop)(idx, xs, ys)
+        batch = augment_batch_jax(patches, modes)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = (
+                P(data_axis, space_axis, None, None)
+                if space_axis
+                else P(data_axis, None, None, None)
+            )
+            batch = jax.lax.with_sharding_constraint(
+                batch, NamedSharding(mesh, spec)
+            )
+        (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        if freeze_decom:
+            grads = _zero_decom_grads(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p - lr * u, state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), terms
+
+    def step_fn(state: TrainState, cubes, base_key, step_ids, batch_starts, lr):
+        def body(carry, xs):
+            step_id, batch_start = xs
+            new_state, terms = one_step(
+                carry, cubes, base_key, step_id, batch_start, lr
+            )
+            return new_state, terms
+
+        state, terms_stacked = jax.lax.scan(
+            body, state, (step_ids, batch_starts)
+        )
+        return state, jax.tree.map(lambda t: jnp.sum(t, axis=0), terms_stacked)
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    replicated = replicated_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        donate_argnums=(0,),
+        in_shardings=(replicated,) * 6,
+        out_shardings=(replicated, replicated),
+    )
+
+
 def stack_cubes(store: CubeStore) -> Optional[jnp.ndarray]:
     """Device-resident (N, H, W, C) stack when all cubes share one shape."""
     shapes = {c.shape for c in store.cubes}
@@ -325,6 +421,17 @@ class Trainer:
         key = ("fused", freeze)
         if key not in self._steps:
             self._steps[key] = make_fused_train_step(
+                self.model, self.tx, self.coeffs,
+                batch_size=self.cfg.batch_size, patch_size=self.cfg.patch_size,
+                freeze_decom=freeze, mesh=self.mesh, data_axis=self.cfg.data_axis,
+                space_axis=self.cfg.space_axis,
+            )
+        return self._steps[key]
+
+    def _multistep_for(self, freeze: bool):
+        key = ("multistep", freeze)
+        if key not in self._steps:
+            self._steps[key] = make_multistep_train_step(
                 self.model, self.tx, self.coeffs,
                 batch_size=self.cfg.batch_size, patch_size=self.cfg.patch_size,
                 freeze_decom=freeze, mesh=self.mesh, data_axis=self.cfg.data_axis,
@@ -468,7 +575,31 @@ class Trainer:
             lr = self._lr_for_epoch(epoch)
             epoch_sums = None
             count = 0
-            if fused_cubes is not None:
+            if fused_cubes is not None and cfg.steps_per_dispatch > 1:
+                # K steps per dispatch; same RNG fold + cube indexing as the
+                # per-step fused path, so the trajectory is identical.
+                step = self._multistep_for(freeze)
+                k = cfg.steps_per_dispatch
+                for chunk_start in range(0, num_batches, k):
+                    ids = np.arange(chunk_start, min(chunk_start + k, num_batches))
+                    step_ids = jnp.asarray(epoch * num_batches + ids, jnp.uint32)
+                    batch_starts = jnp.asarray(ids * cfg.batch_size, jnp.int32)
+                    self.state, terms = step(
+                        self.state, fused_cubes, base_key,
+                        step_ids, batch_starts, jnp.float32(lr),
+                    )
+                    epoch_sums = (
+                        terms if epoch_sums is None
+                        else jax.tree.map(jnp.add, epoch_sums, terms)
+                    )
+                    count += len(ids)
+                    if cfg.log_every_step:
+                        print(
+                            f"Epoch [{epoch+1}/{cfg.epoch}] "
+                            f"Batch [{int(ids[-1])+1}/{num_batches}] "
+                            f"Loss: {float(terms['total_loss']) / len(ids):.6f}"
+                        )
+            elif fused_cubes is not None:
                 step = self._fused_step_for(freeze)
                 for batch_id in range(num_batches):
                     key = jax.random.fold_in(base_key, epoch * num_batches + batch_id)

@@ -114,3 +114,73 @@ def test_trainer_falls_back_on_mixed_sizes(tmp_path, rng, monkeypatch):
     trainer2 = Trainer(cfg2, channels=6)
     with pytest.raises(ValueError, match="fused_pipeline"):
         trainer2.fit(store, ckpt_dir=str(tmp_path / "ck2"))
+
+
+def test_multistep_matches_per_step_trajectory(tmp_path, rng):
+    """K-steps-per-dispatch scan must reproduce the per-step fused path
+    bit-for-bit (same RNG folds, same cyclic cube indexing)."""
+    from sshslie_tpu.train import make_multistep_train_step
+
+    store = _store(tmp_path, rng, shapes=((40, 48, 6),) * 4)
+    cubes = stack_cubes(store)
+    cfg = Config(channels=6, patch_size=16, batch_size=2, attention_impl="xla")
+    model = build_model(cfg, 6)
+    params = init_params(model, 0, 16)
+    tx = make_optimizer()
+    base_key = jax.random.PRNGKey(7)
+
+    def fresh():
+        p = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        return TrainState(params=p, opt_state=tx.init(p),
+                          step=jnp.zeros((), jnp.int32))
+
+    # per-step fused path: 4 dispatches (num_batches=2, 2 epochs worth)
+    step1 = make_fused_train_step(model, tx, loss_coeffs(cfg),
+                                  batch_size=2, patch_size=16)
+    s1 = fresh()
+    terms1 = []
+    for step_id in range(4):
+        batch_id = step_id % 2
+        key = jax.random.fold_in(base_key, step_id)
+        s1, t = step1(s1, cubes, key, jnp.int32(batch_id * 2), jnp.float32(1e-3))
+        terms1.append(float(t["total_loss"]))
+
+    # multistep: one dispatch covering the same 4 steps
+    stepk = make_multistep_train_step(model, tx, loss_coeffs(cfg),
+                                      batch_size=2, patch_size=16)
+    s2 = fresh()
+    step_ids = jnp.asarray([0, 1, 2, 3], jnp.uint32)
+    batch_starts = jnp.asarray([0, 2, 0, 2], jnp.int32)
+    s2, tk = stepk(s2, cubes, base_key, step_ids, batch_starts, jnp.float32(1e-3))
+
+    assert int(s2.step) == 4
+    assert float(tk["total_loss"]) == pytest.approx(sum(terms1), rel=1e-5)
+    # Same trajectory up to XLA reassociation between the scan body and the
+    # standalone step: Adam's m/(√v+ε) turns float32 noise on noise-dominated
+    # (near-zero-gradient) weights into up-to-one-full-step divergence, so a
+    # tiny fraction of elements can differ by ~lr. Require the bulk exact-ish
+    # and everything bounded by a couple of step sizes.
+    diffs = np.concatenate([
+        np.abs(np.asarray(a) - np.asarray(b)).ravel()
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params))
+    ])
+    assert np.quantile(diffs, 0.999) < 5e-4, np.quantile(diffs, 0.999)
+    assert diffs.max() < 3e-3, diffs.max()
+
+
+def test_trainer_steps_per_dispatch(tmp_path, rng, monkeypatch):
+    """Trainer with steps_per_dispatch>1 trains through the scan path and
+    records the same number of per-epoch averages."""
+    monkeypatch.chdir(tmp_path)
+    store = _store(tmp_path, rng, shapes=((40, 48, 6),) * 4)
+    cfg = Config(channels=6, patch_size=16, batch_size=2, epoch=2,
+                 eval_every_epoch=100, plot_every_epoch=100,
+                 attention_impl="xla", fused_pipeline="on",
+                 steps_per_dispatch=2)
+    cfg.finalize()
+    trainer = Trainer(cfg, channels=6)
+    trainer.fit(store, ckpt_dir=str(tmp_path / "ck"))
+    assert ("multistep", False) in trainer._steps
+    assert ("fused", False) not in trainer._steps
+    assert len(trainer.all_epoch_losses["total_loss"]) == 2
+    assert all(np.isfinite(v) for v in trainer.all_epoch_losses["total_loss"])
