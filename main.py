@@ -30,16 +30,11 @@ def _build_trainer(cfg: Config, channels: int, mesh, mlflow):
 
 
 def run_train(trainer, cfg: Config) -> None:
+    from sshslie_tpu.data.datasets import store_from_config
     from sshslie_tpu.evaluate import evaluate_model
 
-    train_store = CubeStore(
-        cfg.train_data, mat_key=cfg.mat_key, normalization=cfg.normalization,
-        global_min=cfg.global_min, global_max=cfg.global_max,
-    )
-    eval_store = CubeStore(
-        cfg.eval_data, mat_key=cfg.mat_key, normalization=cfg.normalization,
-        global_min=cfg.global_min, global_max=cfg.global_max,
-    )
+    train_store = store_from_config(cfg, cfg.train_data)
+    eval_store = store_from_config(cfg, cfg.eval_data)
     trainer.fit(
         train_store,
         eval_store=eval_store,
@@ -50,12 +45,10 @@ def run_train(trainer, cfg: Config) -> None:
 
 
 def run_test(trainer, cfg: Config) -> None:
+    from sshslie_tpu.data.datasets import store_from_config
     from sshslie_tpu.evaluate import test_model
 
-    test_store = CubeStore(
-        cfg.test_data, mat_key=cfg.mat_key, normalization=cfg.normalization,
-        global_min=cfg.global_min, global_max=cfg.global_max, pattern="*.*",
-    )
+    test_store = store_from_config(cfg, cfg.test_data, pattern="*.*")
     print("Found test files:", test_store.files)
     test_model(trainer, cfg.test_model_dir, test_store, cfg.test_result_dir)
 

@@ -79,6 +79,8 @@ class Config:
     data_axis: str = "data"               # mesh axis name for batch sharding
     space_axis: str = ""                  # 2-D mesh: also shard patch height on this axis (e.g. 'space')
     prefetch_batches: int = 2             # host-side pipeline depth
+    lazy_loading: bool = False            # disk-backed LRU cube store (datasets larger than RAM)
+    cube_cache_size: int = 8              # lazy_loading: cubes kept resident
     fused_pipeline: str = "auto"          # 'auto'|'on'|'off': on-device sampling+step graph
     steps_per_dispatch: int = 1           # fused pipeline: scan K steps per device dispatch (amortizes launch latency)
     log_every_step: int = 0               # 0 = per-epoch logging only (avoid device→host syncs)

@@ -73,6 +73,105 @@ class CubeStore:
         return [os.path.basename(f) for f in self.files]
 
 
+class LazyCubeStore(CubeStore):
+    """Disk-backed cube store with an LRU cache — for datasets too large for
+    RAM (e.g. hundreds of 512²×224 cubes ≈ 235 MB each).
+
+    Net-new vs the reference, which loads everything up front
+    (model.py:241-251) and therefore caps dataset size at host RAM. Shapes
+    come from the .mat headers (``scipy.io.whosmat``) without reading pixel
+    data, so samplers can validate sizes cheaply; cubes load on first access
+    and the least-recently-used entries are evicted past ``cache_size``.
+
+    ``.cubes`` iterates lazily (loading each cube as it is yielded); code
+    that needs the whole dataset resident (the fused pipeline's
+    ``stack_cubes``) detects this store and falls back to the host pipeline.
+    """
+
+    def __init__(
+        self,
+        data_path: str,
+        mat_key: str = "data",
+        normalization: Optional[str] = "global_normalization",
+        global_min: Optional[float] = None,
+        global_max: Optional[float] = None,
+        pattern: str = "*.mat",
+        cache_size: int = 8,
+    ):
+        import scipy.io as sio
+
+        self.files = sorted(glob(os.path.join(data_path, pattern)))
+        self._load_kwargs = dict(
+            mat_key=mat_key, normalization=normalization,
+            max_val=global_max, min_val=global_min,
+        )
+        self.cache_size = max(int(cache_size), 1)
+        self._cache: "dict[int, np.ndarray]" = {}
+        self._order: List[int] = []
+        self.load_count = 0  # observability: total disk loads incl. re-loads
+        self.shapes: List[tuple] = []
+        for f in self.files:
+            try:
+                entries = {n: s for n, s, _ in sio.whosmat(f)}
+                self.shapes.append(tuple(entries[mat_key]))
+            except (NotImplementedError, ValueError, KeyError):
+                # v7.3 or unreadable header — load once for the shape.
+                self.shapes.append(tuple(self._load(len(self.shapes)).shape))
+
+    def _load(self, idx: int) -> np.ndarray:
+        self.load_count += 1
+        return load_hsi(self.files[idx], **self._load_kwargs)
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        if idx < 0:
+            idx += len(self)
+        if idx in self._cache:
+            self._order.remove(idx)
+            self._order.append(idx)
+            return self._cache[idx]
+        cube = self._load(idx)
+        self._cache[idx] = cube
+        self._order.append(idx)
+        while len(self._order) > self.cache_size:
+            evict = self._order.pop(0)
+            del self._cache[evict]
+        return cube
+
+    @property
+    def cubes(self):  # type: ignore[override]
+        """Lazy iteration — each cube is loaded (through the cache) as
+        yielded; nothing is pinned beyond the LRU window."""
+        return _LazyCubesView(self)
+
+    @cubes.setter
+    def cubes(self, _value):  # CubeStore.__init__ is bypassed; ignore sets
+        raise AttributeError("LazyCubeStore.cubes is derived from disk")
+
+    @property
+    def channels(self) -> int:
+        if not self.files:
+            raise ValueError("empty cube store")
+        return self.shapes[0][-1]
+
+
+class _LazyCubesView:
+    def __init__(self, store: "LazyCubeStore"):
+        self._store = store
+
+    def __len__(self) -> int:
+        return len(self._store)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        return self._store[idx]
+
+    def __iter__(self):
+        for i in range(len(self._store)):
+            yield self._store[i]
+
+
 class PatchSampler:
     """Random crop + 8-mode augmentation batches from a CubeStore.
 
@@ -94,8 +193,12 @@ class PatchSampler:
         self.batch_size = batch_size
         self.patch_size = patch_size
         self.rng = np.random.default_rng(seed)
-        for i, cube in enumerate(store.cubes):
-            h, w, _ = cube.shape
+        # Shape validation without loading pixels when the store can tell us
+        # (LazyCubeStore reads shapes from the .mat headers).
+        shapes = getattr(store, "shapes", None)
+        if shapes is None:
+            shapes = [c.shape for c in store.cubes]
+        for i, (h, w, *_rest) in enumerate(shapes):
             if h < patch_size or w < patch_size:
                 raise ValueError(
                     f"cube {store.files[i]} ({h}×{w}) is smaller than "
@@ -188,6 +291,18 @@ class Prefetcher:
                 raise self._err
             raise StopIteration
         return item
+
+
+def store_from_config(cfg, data_path: str, pattern: str = "*.mat") -> CubeStore:
+    """Build the configured store type: in-RAM (default) or disk-backed LRU
+    (``lazy_loading: true`` for datasets larger than host RAM)."""
+    kwargs = dict(
+        mat_key=cfg.mat_key, normalization=cfg.normalization,
+        global_min=cfg.global_min, global_max=cfg.global_max, pattern=pattern,
+    )
+    if cfg.lazy_loading:
+        return LazyCubeStore(data_path, cache_size=cfg.cube_cache_size, **kwargs)
+    return CubeStore(data_path, **kwargs)
 
 
 def load_cubes(

@@ -131,9 +131,13 @@ class NativePatchSampler:
 
 def make_sampler(store: CubeStore, batch_size: int, patch_size: int,
                  seed: int = 41, prefer_native: bool = True):
-    """Best-available sampler: native if built, else the Python PatchSampler."""
-    if prefer_native and native_available():
-        return NativePatchSampler(store, batch_size, patch_size, seed)
-    from sshslie_tpu.data.datasets import PatchSampler
+    """Best-available sampler: native if built, else the Python PatchSampler.
 
+    Disk-backed stores (LazyCubeStore) always use the Python sampler — the
+    native library pins every cube in RAM, which defeats lazy loading."""
+    from sshslie_tpu.data.datasets import LazyCubeStore, PatchSampler
+
+    if (prefer_native and native_available()
+            and not isinstance(store, LazyCubeStore)):
+        return NativePatchSampler(store, batch_size, patch_size, seed)
     return PatchSampler(store, batch_size, patch_size, seed)

@@ -357,7 +357,14 @@ def make_multistep_train_step(
 
 
 def stack_cubes(store: CubeStore) -> Optional[jnp.ndarray]:
-    """Device-resident (N, H, W, C) stack when all cubes share one shape."""
+    """Device-resident (N, H, W, C) stack when all cubes share one shape.
+
+    Disk-backed stores (LazyCubeStore) return None — the fused pipeline needs
+    the whole dataset resident, which is exactly what a lazy store avoids."""
+    from sshslie_tpu.data.datasets import LazyCubeStore
+
+    if isinstance(store, LazyCubeStore):
+        return None
     shapes = {c.shape for c in store.cubes}
     if len(shapes) != 1:
         return None

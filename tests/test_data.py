@@ -76,3 +76,98 @@ def test_prefetcher_propagates_errors():
     next(it)
     with pytest.raises(RuntimeError, match="boom"):
         list(it)
+
+
+class TestLazyCubeStore:
+    @staticmethod
+    def _make_dir(tmp_path, rng, n=5, shape=(24, 24, 4)):
+        import scipy.io as sio
+
+        d = tmp_path / "lazy_cubes"
+        d.mkdir(exist_ok=True)
+        cubes = []
+        for i in range(n):
+            c = (rng.rand(*shape) * 100).astype(np.float32)
+            sio.savemat(d / f"c{i}.mat", {"data": c})
+            cubes.append(c)
+        return str(d), cubes
+
+    def test_shapes_without_loading(self, tmp_path, rng):
+        from sshslie_tpu.data.datasets import LazyCubeStore
+
+        d, _ = self._make_dir(tmp_path, rng)
+        store = LazyCubeStore(d, normalization=None)
+        assert store.shapes == [(24, 24, 4)] * 5
+        assert store.channels == 4
+        assert store.load_count == 0  # headers only
+
+    def test_lru_eviction_and_reload(self, tmp_path, rng):
+        from sshslie_tpu.data.datasets import LazyCubeStore
+
+        d, cubes = self._make_dir(tmp_path, rng)
+        store = LazyCubeStore(d, normalization=None, cache_size=2)
+        np.testing.assert_array_equal(store[0], cubes[0])
+        np.testing.assert_array_equal(store[1], cubes[1])
+        assert store.load_count == 2
+        _ = store[0]                       # cache hit, refreshes LRU order
+        assert store.load_count == 2
+        _ = store[2]                       # evicts 1 (LRU)
+        assert store.load_count == 3
+        _ = store[0]                       # still cached
+        assert store.load_count == 3
+        _ = store[1]                       # was evicted → reload
+        assert store.load_count == 4
+
+    def test_lazy_iteration_matches_eager(self, tmp_path, rng):
+        from sshslie_tpu.data.datasets import CubeStore, LazyCubeStore
+
+        d, _ = self._make_dir(tmp_path, rng)
+        eager = CubeStore(d, normalization="self")
+        lazy = LazyCubeStore(d, normalization="self", cache_size=2)
+        assert len(lazy.cubes) == len(eager.cubes)
+        for a, b in zip(lazy.cubes, eager.cubes):
+            np.testing.assert_array_equal(a, b)
+
+    def test_sampler_and_fused_fallback(self, tmp_path, rng):
+        from sshslie_tpu.data.datasets import LazyCubeStore, PatchSampler
+        from sshslie_tpu.data.native_sampler import make_sampler
+        from sshslie_tpu.train import stack_cubes
+
+        d, _ = self._make_dir(tmp_path, rng)
+        store = LazyCubeStore(d, normalization=None, cache_size=2)
+        sampler = make_sampler(store, batch_size=2, patch_size=16)
+        assert isinstance(sampler, PatchSampler)  # native path refused
+        batch = sampler.sample_batch(0)
+        assert batch.shape == (2, 16, 16, 4)
+        assert stack_cubes(store) is None         # fused pipeline refused
+
+    def test_trainer_fit_lazy(self, tmp_path, rng, monkeypatch):
+        from sshslie_tpu.config import Config
+        from sshslie_tpu.data.datasets import store_from_config
+        from sshslie_tpu.train import Trainer
+
+        monkeypatch.chdir(tmp_path)
+        d, _ = self._make_dir(tmp_path, rng, n=4)
+        cfg = Config(channels=4, patch_size=16, batch_size=2, epoch=2,
+                     eval_every_epoch=100, plot_every_epoch=100,
+                     attention_impl="xla", normalization="self",
+                     lazy_loading=True, cube_cache_size=2)
+        cfg.finalize()
+        store = store_from_config(cfg, d)
+        trainer = Trainer(cfg, channels=4)
+        trainer.fit(store, ckpt_dir=str(tmp_path / "ck"))
+        assert len(trainer.all_epoch_losses["total_loss"]) == 2
+        assert all(np.isfinite(v) for v in trainer.all_epoch_losses["total_loss"])
+        assert store.load_count > 0
+
+    def test_v73_header_fallback(self, tmp_path, rng):
+        from sshslie_tpu.data.datasets import LazyCubeStore
+        from sshslie_tpu.utils.io_hsi import save_hsi
+
+        d = tmp_path / "v73"
+        d.mkdir()
+        cube = rng.rand(12, 10, 3).astype(np.float32)
+        save_hsi(str(d / "a.mat"), cube, fmt="v7.3")
+        store = LazyCubeStore(str(d), normalization=None)
+        assert store.shapes == [(12, 10, 3)]
+        np.testing.assert_array_equal(store[0], cube)
