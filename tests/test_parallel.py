@@ -225,3 +225,45 @@ def test_driver_entry_compiles():
     out = jax.jit(fn)(params, x)
     R, I, Id, S = out
     assert S.shape == x.shape
+
+
+def test_elastic_remesh_resume(tmp_path, rng):
+    """Checkpoint written single-device restores onto an 8-device mesh (and
+    back) with identical continued training — elastic device-count changes
+    between runs just work because state is replicated."""
+    from sshslie_tpu import checkpoints
+
+    cfg = Config(channels=4, patch_size=16, attention_impl="xla")
+    model = build_model(cfg, cfg.channels)
+    params = init_params(model, 0, cfg.patch_size)
+    tx = make_optimizer()
+    batch_np = rng.rand(8, 16, 16, 4).astype(np.float32)
+
+    # Train 2 steps single-device, checkpoint.
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    step1 = make_train_step(model, tx, loss_coeffs(cfg))
+    for _ in range(2):
+        state, _ = step1(state, jnp.asarray(batch_np), jnp.float32(1e-3))
+    path = checkpoints.save_checkpoint(str(tmp_path / "ck"), state.params,
+                                       state.opt_state, epoch=2)
+    # Continue single-device (oracle).
+    ref = state
+    for _ in range(2):
+        ref, _ = step1(ref, jnp.asarray(batch_np), jnp.float32(1e-3))
+
+    # Restore onto an 8-device mesh and continue there.
+    mesh = make_mesh("8")
+    p0 = init_params(model, 0, cfg.patch_size)
+    p8, o8, epoch = checkpoints.load_checkpoint(path, p0, tx.init(p0))
+    assert epoch == 2
+    s8 = TrainState(params=p8, opt_state=o8, step=jnp.asarray(2, jnp.int32))
+    s8 = jax.device_put(s8, replicated_sharding(mesh))
+    step8 = make_train_step(model, tx, loss_coeffs(cfg), mesh=mesh)
+    for _ in range(2):
+        batch = jax.device_put(jnp.asarray(batch_np), batch_sharding(mesh))
+        s8, _ = step8(s8, batch, jnp.float32(1e-3))
+
+    for a, b in zip(jax.tree.leaves(ref.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2e-5)
