@@ -66,6 +66,7 @@ class Config:
     model_name: str = "no_name_model"
     pretrained_model: str = ""
     freeze_decom_epochs: int = 0
+    resume: bool = False                  # continue a crashed/stopped run from its latest checkpoint
 
     # --- new framework keys (TPU-native; no reference counterpart) ---
     device: str = ""                      # '' = default backend; 'cpu'/'tpu' force one
@@ -118,6 +119,10 @@ class Config:
             # its checkpoint dir the same way.
             if self.test_timestamp:
                 self.timestamp = self.test_timestamp
+        elif self.resume and self.test_timestamp:
+            # Resuming a training run: adopt the original run's timestamp so
+            # the checkpoint/eval/log directories line up with it.
+            self.timestamp = self.test_timestamp
         self.full_model_name = f"{self.model_name}_{self.timestamp}{postfix}"
         self.model_ckpt_dir = os.path.join(".", "checkpoint", self.model_name)
         self.eval_result_dir = os.path.join(".", "results", "eval_results_" + self.full_model_name)

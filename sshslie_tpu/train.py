@@ -467,6 +467,31 @@ class Trainer:
             cfg.model_ckpt_dir, "Decomposition_" + cfg.timestamp
         )
         os.makedirs(ckpt_dir, exist_ok=True)
+
+        # Crash/stop recovery: pick up the rolling latest checkpoint and
+        # continue from its epoch. The fused pipeline's RNG folds on the
+        # absolute step id, so a resumed run replays the exact trajectory the
+        # uninterrupted run would have taken.
+        start_epoch = 0
+        if cfg.resume:
+            latest = checkpoints.latest_path(ckpt_dir)
+            if os.path.exists(latest):
+                params, opt_state, start_epoch = checkpoints.load_checkpoint(
+                    latest, self.state.params, self.state.opt_state
+                )
+                steps_done = start_epoch * (len(train_store) // cfg.batch_size)
+                self.state = TrainState(
+                    params=params, opt_state=opt_state,
+                    step=jnp.asarray(steps_done, jnp.int32),
+                )
+                if self.mesh is not None:
+                    self.state = jax.device_put(
+                        self.state, replicated_sharding(self.mesh)
+                    )
+                print(f"Resuming training from epoch {start_epoch}")
+            else:
+                print(f"resume requested but no checkpoint at {latest}; "
+                      "starting fresh")
         if eval_result_dir:
             os.makedirs(eval_result_dir, exist_ok=True)
 
@@ -562,7 +587,7 @@ class Trainer:
             jax.profiler.start_trace(cfg.profile_dir)
             profiling = True
 
-        for epoch in range(cfg.epoch):
+        for epoch in range(start_epoch, cfg.epoch):
             freeze = self.freeze_decom_epochs > 0 and epoch < self.freeze_decom_epochs
             if self.freeze_decom_epochs > 0:
                 if epoch < self.freeze_decom_epochs:

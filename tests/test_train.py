@@ -233,3 +233,62 @@ def test_trainer_fit_integration(tmp_path, rng):
         assert all(np.isfinite(v) for v in trainer.all_epoch_losses["total_loss"])
     finally:
         os.chdir(cwd)
+
+
+def test_resume_replays_exact_trajectory(tmp_path, rng):
+    """4-epoch run == 2-epoch run + resume-to-4: the fused pipeline folds the
+    RNG on absolute step ids, so the resumed run is bit-identical."""
+    import scipy.io as sio
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        os.makedirs("cubes", exist_ok=True)
+        for i in range(2):
+            sio.savemat(f"cubes/c{i}.mat",
+                        {"data": (rng.rand(24, 24, 6) * 4000).astype(np.float32)})
+        from sshslie_tpu.data.datasets import CubeStore
+
+        store = CubeStore("cubes", normalization="global_normalization",
+                          global_min=0.0, global_max=4095.0)
+        base = dict(epoch=4, eval_every_epoch=2, fused_pipeline="on",
+                    global_min=0.0, global_max=4095.0)
+
+        # uninterrupted 4 epochs
+        t_full = Trainer(_tiny_cfg(**base), channels=6)
+        t_full.fit(store, ckpt_dir="ck_full")
+
+        # 2 epochs, then resume to 4
+        t_a = Trainer(_tiny_cfg(**{**base, "epoch": 2}), channels=6)
+        t_a.fit(store, ckpt_dir="ck_resume")
+        t_b = Trainer(_tiny_cfg(**base, resume=True), channels=6)
+        t_b.fit(store, ckpt_dir="ck_resume")
+
+        assert len(t_b.all_epoch_losses["total_loss"]) == 2  # epochs 3-4 only
+        for a, b in zip(jax.tree.leaves(t_full.state.params),
+                        jax.tree.leaves(t_b.state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(t_b.state.step) == int(t_full.state.step)
+    finally:
+        os.chdir(cwd)
+
+
+def test_resume_without_checkpoint_starts_fresh(tmp_path, rng, capsys):
+    import scipy.io as sio
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        os.makedirs("cubes", exist_ok=True)
+        for i in range(2):
+            sio.savemat(f"cubes/c{i}.mat",
+                        {"data": rng.rand(24, 24, 6).astype(np.float32)})
+        from sshslie_tpu.data.datasets import CubeStore
+
+        store = CubeStore("cubes", normalization="self")
+        trainer = Trainer(_tiny_cfg(epoch=1, resume=True), channels=6)
+        trainer.fit(store, ckpt_dir="ck_none")
+        assert "starting fresh" in capsys.readouterr().out
+        assert len(trainer.all_epoch_losses["total_loss"]) == 1
+    finally:
+        os.chdir(cwd)
