@@ -51,6 +51,91 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _round_up_pow2(x: int, cap: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return min(p, cap)
+
+
+class _MicroBatcher:
+    """Coalesces concurrent same-bucket requests into one batched forward.
+
+    Requests that arrive within ``window_ms`` of the first pending request in
+    a bucket are stacked (up to ``max_batch``) and run as a single (B, H, W,
+    C) forward — under concurrent load this turns B dispatches into one,
+    trading ≤ window_ms of added latency. The batch dimension is rounded up
+    to a power of two so the jit cache holds at most log2(max_batch)+1
+    compiles per shape bucket.
+    """
+
+    def __init__(self, run_batch, max_batch: int = 4, window_ms: float = 5.0):
+        self._run_batch = run_batch          # (list[np.ndarray]) -> list[outputs]
+        self.max_batch = max(int(max_batch), 1)
+        self.window_s = window_ms / 1e3
+        self._lock = threading.Lock()
+        self._cv = threading.Condition(self._lock)
+        self._pending: Dict[Tuple[int, int], list] = {}
+        self._closed = False
+        self.batched_runs = 0
+        self.max_batch_seen = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, bucket: Tuple[int, int], x: np.ndarray):
+        """Enqueue one padded cube; returns a Future of its output tuple."""
+        from concurrent.futures import Future
+
+        fut: "Future" = Future()
+        with self._cv:
+            self._pending.setdefault(bucket, []).append((x, time.time(), fut))
+            self._cv.notify()
+        return fut
+
+    def _take_ready(self):
+        """Pop the first bucket whose window expired or batch filled."""
+        now = time.time()
+        for bucket, entries in self._pending.items():
+            if (len(entries) >= self.max_batch
+                    or now - entries[0][1] >= self.window_s):
+                del self._pending[bucket]
+                return bucket, entries[: self.max_batch], entries[self.max_batch:]
+        return None
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._pending and not self._closed:
+                    self._cv.wait()
+                if self._closed and not self._pending:
+                    return
+                ready = self._take_ready()
+                if ready is None:
+                    oldest = min(e[0][1] for e in self._pending.values())
+                    self._cv.wait(timeout=max(self.window_s - (time.time() - oldest), 1e-4))
+                    continue
+                bucket, batch, rest = ready
+                if rest:
+                    self._pending[bucket] = rest
+            xs = [x for x, _, _ in batch]
+            futs = [f for _, _, f in batch]
+            try:
+                outs = self._run_batch(xs)
+                self.batched_runs += 1
+                self.max_batch_seen = max(self.max_batch_seen, len(xs))
+                for f, o in zip(futs, outs):
+                    f.set_result(o)
+            except BaseException as e:
+                for f in futs:
+                    f.set_exception(e)
+
+    def close(self):
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._thread.join(timeout=5)
+
+
 class EnhanceService:
     """Checkpoint-backed enhancement with a shape-bucketed jit cache."""
 
@@ -91,6 +176,34 @@ class EnhanceService:
         self.requests = 0
         self.total_secs = 0.0
         self.max_secs = 0.0
+        self.batcher: Optional[_MicroBatcher] = None
+        if cfg.serve_max_batch > 1 and mesh is None:
+            import jax as _jax
+
+            self._batched_fn = _jax.jit(
+                lambda p, x: self.model.apply({"params": p}, x)
+            )
+            self.batcher = _MicroBatcher(
+                self._run_batch, cfg.serve_max_batch, cfg.serve_batch_window_ms
+            )
+
+    def _run_batch(self, xs):
+        """Stack same-bucket cubes, run one batched forward, split results.
+
+        The batch dim is zero-padded to a power of two so compiles stay
+        bounded; zero samples are discarded after the forward."""
+        import jax
+        import jax.numpy as jnp
+
+        b = len(xs)
+        bp = _round_up_pow2(b, self.batcher.max_batch)
+        x = np.stack(xs)
+        if bp != b:
+            x = np.concatenate([x, np.zeros((bp - b,) + x.shape[1:], x.dtype)])
+        with self._device_lock:
+            R, I, Id, S = self._batched_fn(self.params, jnp.asarray(x))
+            jax.block_until_ready(S)
+        return [(R[i], I[i], Id[i], S[i]) for i in range(b)]
 
     # -- core ---------------------------------------------------------------
 
@@ -119,9 +232,12 @@ class EnhanceService:
         if (bh, bw) != (h, w):
             x = np.pad(x, ((0, bh - h), (0, bw - w), (0, 0)), mode="edge")
         start = time.time()
-        with self._device_lock:
-            R, I, Id, S = self._infer(self.params, x)
-            jax.block_until_ready(S)
+        if self.batcher is not None:
+            R, I, Id, S = self.batcher.submit((bh, bw), x).result()
+        else:
+            with self._device_lock:
+                R, I, Id, S = self._infer(self.params, x)
+                jax.block_until_ready(S)
         secs = time.time() - start
         S = np.asarray(S)[:h, :w, :]
         if cfg.global_min is not None and cfg.global_max is not None:
@@ -157,13 +273,18 @@ class EnhanceService:
     def stats(self) -> Dict[str, Any]:
         with self._stats_lock:
             n = self.requests
-            return {
+            out = {
                 "requests": n,
                 "avg_seconds": self.total_secs / n if n else 0.0,
                 "max_seconds": self.max_secs,
                 "buckets": sorted(list(self._buckets)),
                 "pad_multiple": self.pad_multiple,
             }
+        if self.batcher is not None:
+            out["batched_runs"] = self.batcher.batched_runs
+            out["max_batch_seen"] = self.batcher.max_batch_seen
+            out["max_batch"] = self.batcher.max_batch
+        return out
 
 
 # -- HTTP layer -------------------------------------------------------------

@@ -149,3 +149,51 @@ def test_stats_accumulate(server):
     conn.close()
     assert payload["requests"] >= 4
     assert payload["avg_seconds"] > 0
+
+
+class TestMicroBatching:
+    @pytest.fixture(scope="class")
+    def batched_service(self):
+        cfg = Config(
+            channels=CHANNELS, patch_size=16, global_min=0.0, global_max=4095.0,
+            attention_impl="xla", serve_pad_multiple=16,
+            serve_max_batch=4, serve_batch_window_ms=50.0,
+        ).finalize()
+        return EnhanceService(cfg, CHANNELS)
+
+    def test_concurrent_requests_coalesce_and_match_single(self, batched_service):
+        import concurrent.futures as cf
+
+        rng = np.random.RandomState(9)
+        cubes = [(rng.rand(16, 16, CHANNELS) * 4000).astype(np.float32)
+                 for _ in range(4)]
+        # Warm the compile so the window isn't consumed by compilation skew.
+        batched_service.enhance(cubes[0])
+        with cf.ThreadPoolExecutor(4) as pool:
+            outs = list(pool.map(lambda c: batched_service.enhance(c)["S"], cubes))
+
+        # reference: a plain (non-batched) service with identical params
+        plain_cfg = Config(
+            channels=CHANNELS, patch_size=16, global_min=0.0, global_max=4095.0,
+            attention_impl="xla", serve_pad_multiple=16,
+        ).finalize()
+        plain = EnhanceService(plain_cfg, CHANNELS,
+                               params=batched_service.params)
+        for cube, got in zip(cubes, outs):
+            want = plain.enhance(cube)["S"]
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+        stats = batched_service.stats()
+        assert stats["batched_runs"] >= 1
+        assert stats["max_batch_seen"] >= 2, stats  # coalescing happened
+
+    def test_batcher_pow2_padding(self):
+        from sshslie_tpu.serve import _round_up_pow2
+
+        assert _round_up_pow2(1, 8) == 1
+        assert _round_up_pow2(3, 8) == 4
+        assert _round_up_pow2(5, 4) == 4
+
+    def test_batcher_propagates_errors(self, batched_service):
+        with pytest.raises(ValueError):
+            batched_service.enhance(np.zeros((8, 8, CHANNELS + 2), np.float32))
