@@ -19,7 +19,6 @@ from glob import glob
 import numpy as np
 
 from sshslie_tpu.config import Config, parse_args
-from sshslie_tpu.data.datasets import CubeStore
 from sshslie_tpu.observability import Logger, MLflowShim, RunObserver
 
 

@@ -24,6 +24,20 @@ from typing import Any, Optional
 import yaml
 
 
+def _latest_run_timestamp(model_name: str) -> str:
+    """Newest ``Decomposition_<ts>`` run of this model holding a resumable
+    ``model_epoch_latest`` checkpoint ('' when none exists)."""
+    from glob import glob
+
+    candidates = []
+    for ck in glob(os.path.join(
+        ".", "checkpoint", model_name, "Decomposition_*", "model_epoch_latest.ckpt"
+    )):
+        ts = os.path.basename(os.path.dirname(ck))[len("Decomposition_"):]
+        candidates.append((os.path.getmtime(ck), ts))
+    return max(candidates)[1] if candidates else ""
+
+
 @dataclasses.dataclass
 class Config:
     """All run configuration. Field names match the reference YAML keys."""
@@ -66,7 +80,7 @@ class Config:
     model_name: str = "no_name_model"
     pretrained_model: str = ""
     freeze_decom_epochs: int = 0
-    resume: bool = False                  # continue a crashed/stopped run from its latest checkpoint
+    resume: bool = False                  # continue from latest checkpoint (newest run, or test_timestamp's)
 
     # --- new framework keys (TPU-native; no reference counterpart) ---
     device: str = ""                      # '' = default backend; 'cpu'/'tpu' force one
@@ -121,10 +135,14 @@ class Config:
             # its checkpoint dir the same way.
             if self.test_timestamp:
                 self.timestamp = self.test_timestamp
-        elif self.resume and self.test_timestamp:
+        elif self.resume:
             # Resuming a training run: adopt the original run's timestamp so
-            # the checkpoint/eval/log directories line up with it.
-            self.timestamp = self.test_timestamp
+            # the checkpoint/eval/log directories line up with it. Without an
+            # explicit test_timestamp, pick the most recent run of this model
+            # that actually has a resumable checkpoint.
+            ts = self.test_timestamp or _latest_run_timestamp(self.model_name)
+            if ts:
+                self.timestamp = ts
         self.full_model_name = f"{self.model_name}_{self.timestamp}{postfix}"
         self.model_ckpt_dir = os.path.join(".", "checkpoint", self.model_name)
         self.eval_result_dir = os.path.join(".", "results", "eval_results_" + self.full_model_name)

@@ -115,8 +115,14 @@ class LazyCubeStore(CubeStore):
                 entries = {n: s for n, s, _ in sio.whosmat(f)}
                 self.shapes.append(tuple(entries[mat_key]))
             except (NotImplementedError, ValueError, KeyError):
-                # v7.3 or unreadable header — load once for the shape.
-                self.shapes.append(tuple(self._load(len(self.shapes)).shape))
+                # v7.3 (HDF5): the dataset shape is in the header — read it
+                # without touching pixel data (axes arrive reversed).
+                import h5py
+
+                if not h5py.is_hdf5(f):
+                    raise
+                with h5py.File(f, "r") as fh:
+                    self.shapes.append(tuple(reversed(fh[mat_key].shape)))
 
     def _load(self, idx: int) -> np.ndarray:
         self.load_count += 1
@@ -249,7 +255,7 @@ class Prefetcher:
 
     def __init__(self, iterator, sharding=None, depth: int = 2,
                  process_slice: Optional[slice] = None, mesh=None,
-                 data_axis: str = "data"):
+                 data_axis: str = "data", space_axis: str = ""):
         self._queue: queue.Queue = queue.Queue(maxsize=max(depth, 1))
         self._sharding = sharding
         self._err: Optional[BaseException] = None
@@ -266,7 +272,7 @@ class Prefetcher:
 
                         batch = host_local_batch_to_global(
                             np.ascontiguousarray(batch[process_slice]),
-                            mesh, data_axis,
+                            mesh, data_axis, space_axis,
                         )
                     elif self._sharding is not None:
                         batch = jax.device_put(batch, self._sharding)

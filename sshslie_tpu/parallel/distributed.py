@@ -52,14 +52,20 @@ def process_batch_slice(global_batch: int) -> slice:
 
 
 def host_local_batch_to_global(
-    local_batch: np.ndarray, mesh: Mesh, data_axis: str = "data"
+    local_batch: np.ndarray, mesh: Mesh, data_axis: str = "data",
+    space_axis: str = "",
 ) -> jax.Array:
     """Assemble a globally-sharded array from per-process local batches.
 
     ``local_batch`` holds only this process's samples; the result is a global
-    array of shape (sum of local batches, ...) sharded over ``data_axis``.
+    array of shape (sum of local batches, ...) sharded over ``data_axis``
+    (and, for dp×sp training, the height over ``space_axis`` — matching the
+    train step's in_shardings so no reshard happens at the jit boundary).
     """
-    spec = P(data_axis, *([None] * (local_batch.ndim - 1)))
+    dims = [None] * (local_batch.ndim - 1)
+    if space_axis:
+        dims[0] = space_axis
+    spec = P(data_axis, *dims)
     return jax.make_array_from_process_local_data(
         NamedSharding(mesh, spec), local_batch
     )

@@ -255,17 +255,31 @@ class EnhanceService:
         return out
 
     def warmup(self, shapes: Sequence[Tuple[int, int]]) -> None:
-        """Pre-compile the jit buckets for the given (H, W) shapes."""
+        """Pre-compile the jit buckets for the given (H, W) shapes.
+
+        With micro-batching enabled the request path runs ``_batched_fn``,
+        which has its own jit cache — warm every power-of-two batch size up
+        to ``max_batch`` so no request ever pays the XLA compile."""
         import jax
+        import jax.numpy as jnp
 
         for h, w in shapes:
             bh, bw = self._bucket(h, w)
             if (bh, bw) in self._buckets:
                 continue
-            dummy = np.zeros((bh, bw, self.channels), np.float32)
-            with self._device_lock:
-                _, _, _, S = self._infer(self.params, dummy)
-                jax.block_until_ready(S)
+            if self.batcher is not None:
+                b = 1
+                while b <= self.batcher.max_batch:
+                    dummy = jnp.zeros((b, bh, bw, self.channels), jnp.float32)
+                    with self._device_lock:
+                        _, _, _, S = self._batched_fn(self.params, dummy)
+                        jax.block_until_ready(S)
+                    b *= 2
+            else:
+                dummy = np.zeros((bh, bw, self.channels), np.float32)
+                with self._device_lock:
+                    _, _, _, S = self._infer(self.params, dummy)
+                    jax.block_until_ready(S)
             with self._stats_lock:
                 self._buckets.add((bh, bw))
             print(f"Warmed bucket ({bh}, {bw})")
@@ -363,6 +377,10 @@ def _make_handler(service: EnhanceService):
             except (KeyError, ValueError) as e:
                 self._json(400, {"error": str(e)})
                 return
+            except Exception as e:  # noqa: BLE001 — client must get an HTTP error,
+                # not a reset socket (corrupt files, device failures, ...).
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
             payload = {cfg.mat_key_prediction: result["S"]}
             if artifacts:
                 payload.update({
@@ -425,6 +443,12 @@ def parse_warmup(spec: str) -> list[Tuple[int, int]]:
 
 def serve_from_config(cfg: Config, mesh=None) -> None:
     """main.py --phase serve entry: load the test checkpoint and serve."""
+    if cfg.device:
+        # Standalone `python -m sshslie_tpu.serve` path — main.py applies this
+        # before any jax use; do the same here.
+        import jax
+
+        jax.config.update("jax_platforms", cfg.device)
     channels = cfg.channels
     if channels is None:
         raise ValueError("phase=serve requires an explicit 'channels' config")
@@ -443,5 +467,11 @@ if __name__ == "__main__":
     from sshslie_tpu.config import parse_args
 
     _cfg = parse_args()
-    _cfg.phase = "serve"
+    if _cfg.phase != "serve":
+        # Force the serve phase and re-derive run names so test_timestamp is
+        # adopted for the checkpoint directory (finalize already ran inside
+        # parse_args with the YAML's phase).
+        _cfg.phase = "serve"
+        _cfg.timestamp = ""
+        _cfg.finalize()
     serve_from_config(_cfg)

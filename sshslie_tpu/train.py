@@ -283,8 +283,13 @@ def make_multistep_train_step(
     per-step path would use, so toggling ``steps_per_dispatch`` does not
     change the training trajectory.
 
-    Signature: (state, cubes, base_key, step_ids[K], batch_starts[K], lr)
-    → (state, terms summed over the K steps).
+    Signature: (state, cubes, base_key, step_ids[K], batch_starts[K],
+    valid[K], lr) → (state, terms summed over the valid steps).
+
+    ``valid`` masks padding: a remainder chunk shorter than K is padded to
+    length K with valid=False entries whose state updates and loss terms are
+    discarded — one scan length, one XLA compile, regardless of how the epoch
+    divides.
     """
     from sshslie_tpu.utils.augment import augment_batch_jax
 
@@ -332,16 +337,23 @@ def make_multistep_train_step(
         return TrainState(params=params, opt_state=opt_state,
                           step=state.step + 1), terms
 
-    def step_fn(state: TrainState, cubes, base_key, step_ids, batch_starts, lr):
+    def step_fn(state: TrainState, cubes, base_key, step_ids, batch_starts,
+                valid, lr):
         def body(carry, xs):
-            step_id, batch_start = xs
+            step_id, batch_start, ok = xs
             new_state, terms = one_step(
                 carry, cubes, base_key, step_id, batch_start, lr
             )
+            # Padding steps are full no-ops: discard the update and zero the
+            # terms (Adam moments must not decay on a padding step).
+            new_state = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old), new_state, carry
+            )
+            terms = jax.tree.map(lambda t: jnp.where(ok, t, 0.0), terms)
             return new_state, terms
 
         state, terms_stacked = jax.lax.scan(
-            body, state, (step_ids, batch_starts)
+            body, state, (step_ids, batch_starts, valid)
         )
         return state, jax.tree.map(lambda t: jnp.sum(t, axis=0), terms_stacked)
 
@@ -351,7 +363,7 @@ def make_multistep_train_step(
     return jax.jit(
         step_fn,
         donate_argnums=(0,),
-        in_shardings=(replicated,) * 6,
+        in_shardings=(replicated,) * 7,
         out_shardings=(replicated, replicated),
     )
 
@@ -614,22 +626,38 @@ class Trainer:
                 k = cfg.steps_per_dispatch
                 for chunk_start in range(0, num_batches, k):
                     ids = np.arange(chunk_start, min(chunk_start + k, num_batches))
-                    step_ids = jnp.asarray(epoch * num_batches + ids, jnp.uint32)
-                    batch_starts = jnp.asarray(ids * cfg.batch_size, jnp.int32)
+                    n_real = len(ids)
+                    # Pad remainder chunks to the fixed scan length K so the
+                    # multistep graph compiles exactly once; padding entries
+                    # are masked no-ops inside the scan.
+                    pad = k - n_real
+                    ids_padded = np.concatenate([ids, np.full(pad, ids[-1])]) if pad else ids
+                    valid = jnp.asarray(
+                        np.arange(k) < n_real if pad else np.ones(k, bool)
+                    )
+                    step_ids = jnp.asarray(
+                        epoch * num_batches + ids_padded, jnp.uint32
+                    )
+                    batch_starts = jnp.asarray(ids_padded * cfg.batch_size, jnp.int32)
                     self.state, terms = step(
                         self.state, fused_cubes, base_key,
-                        step_ids, batch_starts, jnp.float32(lr),
+                        step_ids, batch_starts, valid, jnp.float32(lr),
                     )
                     epoch_sums = (
                         terms if epoch_sums is None
                         else jax.tree.map(jnp.add, epoch_sums, terms)
                     )
-                    count += len(ids)
-                    if cfg.log_every_step:
+                    count += n_real
+                    # Honor log_every_step's every-N-batches cadence: print
+                    # when this chunk crossed an N boundary.
+                    if cfg.log_every_step and (
+                        (int(ids[-1]) + 1) // cfg.log_every_step
+                        > int(ids[0]) // cfg.log_every_step
+                    ):
                         print(
                             f"Epoch [{epoch+1}/{cfg.epoch}] "
                             f"Batch [{int(ids[-1])+1}/{num_batches}] "
-                            f"Loss: {float(terms['total_loss']) / len(ids):.6f}"
+                            f"Loss: {float(terms['total_loss']) / n_real:.6f}"
                         )
             elif fused_cubes is not None:
                 step = self._fused_step_for(freeze)
@@ -660,7 +688,7 @@ class Trainer:
                 batches = Prefetcher(
                     sampler.epoch(), sharding=sharding, depth=cfg.prefetch_batches,
                     process_slice=proc_slice, mesh=self.mesh,
-                    data_axis=cfg.data_axis,
+                    data_axis=cfg.data_axis, space_axis=cfg.space_axis,
                 )
                 for batch_id, batch in enumerate(batches):
                     self.state, terms = step(self.state, batch, jnp.float32(lr))

@@ -85,3 +85,35 @@ def test_shipped_configs_load():
         cfg = load_config(os.path.join(root, name))
         assert cfg.channels in (64, 224)
         assert cfg.phase in ("train", "test", "train_and_test")
+
+
+def test_resume_autodiscovers_latest_run(tmp_path, monkeypatch):
+    """resume without test_timestamp adopts the newest run directory that
+    holds a resumable checkpoint."""
+    import os
+    import time
+
+    from sshslie_tpu.config import Config
+
+    monkeypatch.chdir(tmp_path)
+    for ts in ("20260101_000000", "20260102_000000"):
+        d = tmp_path / "checkpoint" / "m" / f"Decomposition_{ts}"
+        d.mkdir(parents=True)
+        (d / "model_epoch_latest.ckpt").write_bytes(b"x")
+        time.sleep(0.01)
+    # a run without a latest checkpoint must not be picked
+    d3 = tmp_path / "checkpoint" / "m" / "Decomposition_20260103_000000"
+    d3.mkdir(parents=True)
+
+    cfg = Config(model_name="m", resume=True).finalize()
+    assert cfg.timestamp == "20260102_000000"
+    assert cfg.test_model_dir.endswith("Decomposition_20260102_000000")
+
+    # explicit test_timestamp wins
+    cfg2 = Config(model_name="m", resume=True,
+                  test_timestamp="20260101_000000").finalize()
+    assert cfg2.timestamp == "20260101_000000"
+
+    # no checkpoints at all → fresh run (timestamp generated)
+    cfg3 = Config(model_name="nope", resume=True).finalize()
+    assert cfg3.timestamp not in ("", None)

@@ -170,4 +170,5 @@ class TestLazyCubeStore:
         save_hsi(str(d / "a.mat"), cube, fmt="v7.3")
         store = LazyCubeStore(str(d), normalization=None)
         assert store.shapes == [(12, 10, 3)]
+        assert store.load_count == 0  # shape came from the HDF5 header
         np.testing.assert_array_equal(store[0], cube)

@@ -151,7 +151,9 @@ def test_multistep_matches_per_step_trajectory(tmp_path, rng):
     s2 = fresh()
     step_ids = jnp.asarray([0, 1, 2, 3], jnp.uint32)
     batch_starts = jnp.asarray([0, 2, 0, 2], jnp.int32)
-    s2, tk = stepk(s2, cubes, base_key, step_ids, batch_starts, jnp.float32(1e-3))
+    valid = jnp.ones(4, bool)
+    s2, tk = stepk(s2, cubes, base_key, step_ids, batch_starts, valid,
+                   jnp.float32(1e-3))
 
     assert int(s2.step) == 4
     assert float(tk["total_loss"]) == pytest.approx(sum(terms1), rel=1e-5)
@@ -184,3 +186,37 @@ def test_trainer_steps_per_dispatch(tmp_path, rng, monkeypatch):
     assert ("fused", False) not in trainer._steps
     assert len(trainer.all_epoch_losses["total_loss"]) == 2
     assert all(np.isfinite(v) for v in trainer.all_epoch_losses["total_loss"])
+
+
+def test_trainer_remainder_chunk_matches_per_step(tmp_path, rng, monkeypatch):
+    """num_batches=3 with steps_per_dispatch=2 pads the [2,1] chunks to one
+    scan length; the masked no-op must leave the trajectory identical to a
+    steps_per_dispatch=1 run."""
+    monkeypatch.chdir(tmp_path)
+    store = _store(tmp_path, rng, shapes=((40, 48, 6),) * 6)  # 3 batches of 2
+    base = dict(channels=6, patch_size=16, batch_size=2, epoch=2,
+                eval_every_epoch=100, plot_every_epoch=100,
+                attention_impl="xla", fused_pipeline="on")
+
+    cfg1 = Config(**base, steps_per_dispatch=1)
+    cfg1.finalize()
+    t1 = Trainer(cfg1, channels=6)
+    t1.fit(store, ckpt_dir=str(tmp_path / "ck1"))
+
+    cfg2 = Config(**base, steps_per_dispatch=2)
+    cfg2.finalize()
+    t2 = Trainer(cfg2, channels=6)
+    t2.fit(store, ckpt_dir=str(tmp_path / "ck2"))
+
+    # epoch-average losses agree (each epoch = 3 real steps in both runs;
+    # rtol covers Adam-amplified float noise compounding into epoch 2)
+    np.testing.assert_allclose(t1.all_epoch_losses["total_loss"],
+                               t2.all_epoch_losses["total_loss"], rtol=5e-4)
+    assert int(t2.state.step) == int(t1.state.step) == 6
+    diffs = np.concatenate([
+        np.abs(np.asarray(a) - np.asarray(b)).ravel()
+        for a, b in zip(jax.tree.leaves(t1.state.params),
+                        jax.tree.leaves(t2.state.params))
+    ])
+    assert np.quantile(diffs, 0.999) < 5e-4
+    assert diffs.max() < 3e-3
