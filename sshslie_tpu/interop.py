@@ -93,6 +93,80 @@ def torch_state_dict_to_flax(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     return {"decomposition_net": decom, "illum_adjust_net": illum}
 
 
+def flax_params_to_torch_state_dict(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse of :func:`torch_state_dict_to_flax`: emit a state_dict loadable
+    by the reference ``LowLightEnhance`` (torch tensors, reference key names,
+    OIHW/IOHW layouts). Lets TPU-trained weights run in the original repo."""
+    import torch
+
+    p = {k: np.asarray(v) for k, v in _flatten(params).items()}
+
+    out: Dict[str, Any] = {}
+
+    def put_conv(torch_prefix: str, ours: str) -> None:
+        out[torch_prefix + ".weight"] = torch.tensor(
+            p[ours + ".kernel"].transpose(3, 2, 0, 1))  # HWIO → OIHW
+        out[torch_prefix + ".bias"] = torch.tensor(p[ours + ".bias"])
+
+    def put_convT(torch_prefix: str, ours: str) -> None:
+        out[torch_prefix + ".weight"] = torch.tensor(
+            p[ours + ".kernel"].transpose(2, 3, 0, 1))  # HWIO → IOHW
+        out[torch_prefix + ".bias"] = torch.tensor(p[ours + ".bias"])
+
+    def put_lin(torch_prefix: str, ours: str) -> None:
+        out[torch_prefix + ".weight"] = torch.tensor(p[ours + ".kernel"].T)
+        out[torch_prefix + ".bias"] = torch.tensor(p[ours + ".bias"])
+
+    d = "decomposition_net"
+    for name in ("conv0", "shallow_conv", "conv1", "conv2", "conv3",
+                 "conv5", "conv7"):
+        put_conv(f"{d}.{name}.0", f"{d}.{name}")
+    put_convT(f"{d}.deconv.0", f"{d}.deconv")
+    put_conv(f"{d}.recon", f"{d}.recon")
+
+    i = "illum_adjust_net"
+    for name in ("conv0", "conv1", "conv2", "conv3",
+                 "deconv1", "deconv2", "deconv3", "feature_fusion"):
+        put_conv(f"{i}.{name}.0", f"{i}.{name}")
+    put_conv(f"{i}.final_conv", f"{i}.final_conv")
+    if f"{i}.attn.q_linear.kernel" in p:
+        for name in ("q_linear", "k_linear", "v_linear",
+                     "ff_linear1", "ff_linear2"):
+            put_lin(f"{i}.attn.{name}", f"{i}.attn.{name}")
+    elif f"{i}.attn.fc1.kernel" in p:
+        for name in ("fc1", "fc2"):
+            put_lin(f"{i}.attn.{name}", f"{i}.attn.{name}")
+    return out
+
+
+def _flatten(tree: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    flat: Dict[str, Any] = {}
+    for k, v in tree.items():
+        key = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, dict) or type(v).__name__ == "FrozenDict":
+            flat.update(_flatten(dict(v), key))
+        else:
+            flat[key] = v
+    return flat
+
+
+def export_torch_checkpoint(params: Dict[str, Any], out_path: str,
+                            epoch: Optional[int] = None) -> str:
+    """Write our params as a reference-format ``.pth`` checkpoint
+    ({epoch, model_state_dict}, reference model.py:595-601)."""
+    import torch
+
+    sd = flax_params_to_torch_state_dict(params)
+    payload: Dict[str, Any] = {"model_state_dict": sd}
+    if epoch is not None:
+        payload["epoch"] = int(epoch)
+    if not out_path.endswith(".pth"):
+        out_path += ".pth"
+    torch.save(payload, out_path)
+    print(f"Exported params → {out_path}")
+    return out_path
+
+
 def load_torch_checkpoint(path: str) -> Tuple[Dict[str, Any], Optional[int]]:
     """Load a reference ``.pth`` (full checkpoint or bare state_dict).
 

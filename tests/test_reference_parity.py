@@ -174,3 +174,35 @@ def test_bare_state_dict_import(paired_models, tmp_path):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-7)
+
+
+def test_export_roundtrip_and_reference_load(paired_models, tmp_path, rng):
+    """Our params → reference .pth → loads into the actual reference model
+    and reproduces our forward; and importing the export back is identity."""
+    from sshslie_tpu.interop import (
+        export_torch_checkpoint,
+        load_torch_checkpoint,
+    )
+
+    ref, ours, params, C = paired_models
+    host_params = jax.tree.map(np.asarray, params)
+    pth = export_torch_checkpoint(host_params, str(tmp_path / "export"), epoch=7)
+
+    # identity round-trip through the torch format
+    back, epoch = load_torch_checkpoint(pth)
+    assert epoch == 7
+    for a, b in zip(jax.tree.leaves(host_params),
+                    jax.tree.leaves(jax.tree.map(np.asarray, back))):
+        np.testing.assert_array_equal(a, b)
+
+    # the reference model must accept and reproduce the forward
+    ckpt = torch.load(pth, map_location="cpu", weights_only=False)
+    ref2 = type(ref)(input_channels=C, device=torch.device("cpu"))
+    ref2.load_state_dict(ckpt["model_state_dict"])
+    ref2.eval()
+    x = rng.rand(1, 16, 16, C).astype(np.float32)
+    with torch.no_grad():
+        _, _, _, S_t = ref2.forward(torch.tensor(x.transpose(0, 3, 1, 2)))
+    _, _, _, S_j = ours.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(S_j),
+                               S_t.numpy().transpose(0, 2, 3, 1), atol=2e-5)
