@@ -11,7 +11,20 @@ import scipy.io as sio
 
 SCRIPTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "scripts")
-sys.path.insert(0, SCRIPTS)
+
+
+def _load_script(name):
+    """Import a scripts/*.py by file path — the reference checkout (added to
+    sys.path by the parity tests) ships same-named modules that would shadow
+    ours under a plain ``import``."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        f"sshslie_scripts_{name}", os.path.join(SCRIPTS, name + ".py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 @pytest.fixture()
@@ -28,7 +41,7 @@ def dataset(tmp_path, rng):
 
 
 def test_plot_bandwise_metrics_cli(tmp_path, dataset):
-    import plot_bandwise_metrics
+    plot_bandwise_metrics = _load_script("plot_bandwise_metrics")
 
     gt, ours = dataset
     out = tmp_path / "figs"
@@ -42,7 +55,7 @@ def test_plot_bandwise_metrics_cli(tmp_path, dataset):
 
 
 def test_plot_spectra_cli(tmp_path, dataset):
-    import plot_spectra
+    plot_spectra = _load_script("plot_spectra")
 
     gt, ours = dataset
     out = tmp_path / "figs2"
