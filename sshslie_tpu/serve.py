@@ -165,6 +165,8 @@ class EnhanceService:
                 )
         # Park the params on device once; every request reuses them.
         self.params = jax.device_put(params)
+        self.checkpoint_path = checkpoint_path
+        self.reload_count = 0
         if mesh is not None:
             self._infer = ShardedInferencer(self.model, mesh, cfg.data_axis)
             # ShardedInferencer pads internally per its mesh; bucket on top.
@@ -284,6 +286,26 @@ class EnhanceService:
                 self._buckets.add((bh, bw))
             print(f"Warmed bucket ({bh}, {bw})")
 
+    def reload(self, checkpoint_path: Optional[str] = None) -> Dict[str, Any]:
+        """Hot-swap params from a checkpoint without restarting the server.
+
+        The jitted graphs and compiled buckets are keyed on shapes, not
+        values — new params drop in with zero recompilation. Lets a serving
+        process track an ongoing training run (train writes
+        ``model_epoch_latest``; POST /reload picks it up)."""
+        import jax
+
+        path = checkpoint_path or self.checkpoint_path
+        if not path:
+            raise ValueError("no checkpoint path configured for reload")
+        new_params, epoch = checkpoints.load_pretrained_params(path, self.params)
+        with self._device_lock:
+            self.params = jax.device_put(new_params)
+        self.checkpoint_path = path
+        with self._stats_lock:
+            self.reload_count += 1
+        return {"reloaded": path, "epoch": epoch, "reloads": self.reload_count}
+
     def stats(self) -> Dict[str, Any]:
         with self._stats_lock:
             n = self.requests
@@ -360,6 +382,16 @@ def _make_handler(service: EnhanceService):
 
         def do_POST(self):  # noqa: N802
             parsed = urlparse(self.path)
+            if parsed.path == "/reload":
+                query = parse_qs(parsed.query)
+                try:
+                    info = service.reload(query.get("checkpoint", [None])[0])
+                    self._json(200, info)
+                except (ValueError, FileNotFoundError) as e:
+                    self._json(400, {"error": str(e)})
+                except Exception as e:  # noqa: BLE001
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
             if parsed.path != "/enhance":
                 self._json(404, {"error": f"unknown path {parsed.path}"})
                 return

@@ -20,6 +20,7 @@ weight decay, bias-corrected moments) — optax.scale_by_adam matches exactly.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any, Dict, Optional
 
 import jax
@@ -592,6 +593,24 @@ class Trainer:
                     remaining.append((ep, fut))
             pending_evals[:] = remaining
 
+        # Preemption safety: on SIGTERM/SIGINT finish the current epoch,
+        # write a resumable checkpoint, and return cleanly. TPU pods get
+        # preempted; together with `resume: true` this makes training
+        # restartable with at most one epoch of lost work. Installed only in
+        # the main thread (signal API restriction); restored on exit.
+        import signal
+
+        self._stop_requested = False
+        prev_handlers = {}
+        if threading.current_thread() is threading.main_thread():
+            def _request_stop(signum, _frame):
+                print(f"Received signal {signum}: will checkpoint and stop "
+                      "after this epoch")
+                self._stop_requested = True
+
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                prev_handlers[sig] = signal.signal(sig, _request_stop)
+
         profiling = False
         if cfg.profile_dir:
             # Trace the first epoch (post-compile steps land in the trace too;
@@ -763,6 +782,18 @@ class Trainer:
             print(f"Epoch [{epoch+1}/{cfg.epoch}] Average Loss: {avg['total_loss']:.6f}")
             if eval_pool is not None:
                 _drain_evals(block=False)
+
+            if self._stop_requested:
+                checkpoints.save_checkpoint(
+                    checkpoints.latest_path(ckpt_dir),
+                    self.state.params, self.state.opt_state, epoch + 1,
+                )
+                print(f"Preemption checkpoint written at epoch {epoch+1}; "
+                      "stopping (resume with resume: true)")
+                break
+
+        for sig, handler in prev_handlers.items():
+            signal.signal(sig, handler)
 
         if eval_pool is not None:
             _drain_evals(block=True)

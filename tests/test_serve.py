@@ -197,3 +197,58 @@ class TestMicroBatching:
     def test_batcher_propagates_errors(self, batched_service):
         with pytest.raises(ValueError):
             batched_service.enhance(np.zeros((8, 8, CHANNELS + 2), np.float32))
+
+
+def test_reload_hot_swaps_params(tmp_path, service):
+    """POST /reload swaps params in place: same buckets, new weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from sshslie_tpu import checkpoints
+    from sshslie_tpu.train import make_optimizer
+
+    rng = np.random.RandomState(11)
+    cube = (rng.rand(16, 16, CHANNELS) * 100).astype(np.float32)
+    before = service.enhance(cube)["S"]
+
+    # perturb params, write a checkpoint, reload
+    new_params = jax.tree.map(lambda x: jnp.asarray(x) * 1.1, service.params)
+    tx = make_optimizer()
+    ckpt = checkpoints.save_checkpoint(
+        str(tmp_path / "hot.ckpt"), new_params, tx.init(new_params), epoch=9)
+    info = service.reload(ckpt)
+    assert info["epoch"] == 9 and info["reloads"] >= 1
+    after = service.enhance(cube)["S"]
+    assert not np.allclose(before, after)
+    # stats/buckets survive the swap
+    assert len(service.stats()["buckets"]) >= 1
+
+
+def test_reload_requires_path(service):
+    service.checkpoint_path = None
+    with pytest.raises(ValueError):
+        service.reload()
+
+
+def test_http_reload_endpoint(tmp_path, server, service):
+    import http.client
+    import jax
+
+    from sshslie_tpu import checkpoints
+    from sshslie_tpu.train import make_optimizer
+
+    params = jax.tree.map(np.asarray, service.params)
+    tx = make_optimizer()
+    ckpt = checkpoints.save_checkpoint(
+        str(tmp_path / "h2.ckpt"), params, tx.init(params), epoch=3)
+    conn = http.client.HTTPConnection(server.host, server.port, timeout=60)
+    conn.request("POST", f"/reload?checkpoint={ckpt}")
+    resp = conn.getresponse()
+    payload = json.loads(resp.read())
+    assert resp.status == 200 and payload["epoch"] == 3
+    # bogus path → 400/500, not a dropped connection
+    conn.request("POST", "/reload?checkpoint=/nope/missing.ckpt")
+    resp = conn.getresponse()
+    assert resp.status in (400, 500)
+    resp.read()
+    conn.close()

@@ -292,3 +292,56 @@ def test_resume_without_checkpoint_starts_fresh(tmp_path, rng, capsys):
         assert len(trainer.all_epoch_losses["total_loss"]) == 1
     finally:
         os.chdir(cwd)
+
+
+def test_sigterm_checkpoints_and_stops(tmp_path, rng):
+    """SIGTERM mid-training finishes the epoch, writes a resumable latest
+    checkpoint, and exits the fit loop (preemption safety)."""
+    import signal
+    import scipy.io as sio
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        os.makedirs("cubes", exist_ok=True)
+        for i in range(2):
+            sio.savemat(f"cubes/c{i}.mat",
+                        {"data": rng.rand(24, 24, 6).astype(np.float32)})
+        from sshslie_tpu.data.datasets import CubeStore
+
+        store = CubeStore("cubes", normalization="self")
+        cfg = _tiny_cfg(epoch=50)  # would run long without the signal
+        trainer = Trainer(cfg, channels=6)
+
+        fired = {"done": False}
+        orig_print = print
+
+        # raise the signal from within the loop: hook the epoch print
+        import builtins
+
+        def hooked_print(*args, **kw):
+            orig_print(*args, **kw)
+            if (not fired["done"] and args
+                    and str(args[0]).startswith("Epoch [2/")):
+                fired["done"] = True
+                os.kill(os.getpid(), signal.SIGTERM)
+
+        builtins.print = hooked_print
+        try:
+            trainer.fit(store, ckpt_dir="ck")
+        finally:
+            builtins.print = orig_print
+
+        assert fired["done"]
+        # stopped well before epoch 50, and the latest checkpoint is resumable
+        n_epochs = len(trainer.all_epoch_losses["total_loss"])
+        assert 2 <= n_epochs <= 3, n_epochs
+        from sshslie_tpu import checkpoints
+        p, o, e = checkpoints.load_checkpoint(
+            checkpoints.latest_path("ck"), trainer.state.params,
+            trainer.state.opt_state)
+        assert e == n_epochs
+        # default handler restored
+        assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+    finally:
+        os.chdir(cwd)
