@@ -163,13 +163,37 @@ class EnhanceService:
                 params, _epoch = checkpoints.load_pretrained_params(
                     checkpoint_path, params
                 )
+        import jax.numpy as jnp
+
         # Park the params on device once; every request reuses them.
         self.params = jax.device_put(params)
+        # fp32 template for checkpoint restores (reload re-quantizes).
+        self._params_template = params
         self.checkpoint_path = checkpoint_path
         self.reload_count = 0
+        self.quantize = cfg.serve_quantize
+        if self.quantize:
+            self.params = self._quantized(self.params)
         if mesh is not None:
+            if self.quantize:
+                raise ValueError("serve_quantize is single-chip only")
             self._infer = ShardedInferencer(self.model, mesh, cfg.data_axis)
             # ShardedInferencer pads internally per its mesh; bucket on top.
+        elif self.quantize:
+            from sshslie_tpu.ops.quant import dequantize_tree
+
+            # Weights stay 8-bit in HBM; dequant fuses into the forward.
+            self._infer_fn = jax.jit(
+                lambda qp, x: self.model.apply({"params": dequantize_tree(qp)}, x)
+            )
+
+            class _QInfer:
+                def __call__(_self, qparams, cube):
+                    x = jnp.asarray(cube)[None, ...]
+                    R, I, Id, S = self._infer_fn(qparams, x)
+                    return R[0], I[0], Id[0], S[0]
+
+            self._infer = _QInfer()
         else:
             self._infer = Inferencer(self.model, pad_multiple=1)
         self._device_lock = threading.Lock()
@@ -182,12 +206,32 @@ class EnhanceService:
         if cfg.serve_max_batch > 1 and mesh is None:
             import jax as _jax
 
-            self._batched_fn = _jax.jit(
-                lambda p, x: self.model.apply({"params": p}, x)
-            )
+            if self.quantize:
+                from sshslie_tpu.ops.quant import dequantize_tree as _dq
+
+                self._batched_fn = _jax.jit(
+                    lambda qp, x: self.model.apply({"params": _dq(qp)}, x)
+                )
+            else:
+                self._batched_fn = _jax.jit(
+                    lambda p, x: self.model.apply({"params": p}, x)
+                )
             self.batcher = _MicroBatcher(
                 self._run_batch, cfg.serve_max_batch, cfg.serve_batch_window_ms
             )
+
+    def _quantized(self, params):
+        import jax
+
+        from sshslie_tpu.ops.quant import quantize_tree
+
+        qparams, stats = quantize_tree(params, self.quantize)
+        print(
+            f"Serving {self.quantize}-quantized weights: "
+            f"{stats['bytes_fp32']} → {stats['bytes_quant']} bytes "
+            f"({stats['tensors_quantized']} tensors)"
+        )
+        return jax.device_put(qparams)
 
     def _run_batch(self, xs):
         """Stack same-bucket cubes, run one batched forward, split results.
@@ -298,7 +342,12 @@ class EnhanceService:
         path = checkpoint_path or self.checkpoint_path
         if not path:
             raise ValueError("no checkpoint path configured for reload")
-        new_params, epoch = checkpoints.load_pretrained_params(path, self.params)
+        new_params, epoch = checkpoints.load_pretrained_params(
+            path, self._params_template
+        )
+        self._params_template = new_params
+        if self.quantize:
+            new_params = self._quantized(new_params)
         with self._device_lock:
             self.params = jax.device_put(new_params)
         self.checkpoint_path = path

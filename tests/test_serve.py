@@ -252,3 +252,43 @@ def test_http_reload_endpoint(tmp_path, server, service):
     assert resp.status in (400, 500)
     resp.read()
     conn.close()
+
+
+def test_quantized_serving_close_to_fp32(tmp_path):
+    """serve_quantize='int8': the quantized service's outputs stay within
+    int8 weight-quantization error of the fp32 service."""
+    rng = np.random.RandomState(21)
+    base_cfg = dict(channels=CHANNELS, patch_size=16, global_min=0.0,
+                    global_max=4095.0, attention_impl="xla",
+                    serve_pad_multiple=16)
+    fp32 = EnhanceService(Config(**base_cfg).finalize(), CHANNELS)
+    q = EnhanceService(Config(**base_cfg, serve_quantize="int8").finalize(),
+                       CHANNELS, params=fp32._params_template)
+    cube = (rng.rand(20, 20, CHANNELS) * 4000).astype(np.float32)
+    S_f = fp32.enhance(cube)["S"]
+    S_q = q.enhance(cube)["S"]
+    assert S_q.shape == cube.shape
+    # near-lossless on the 0..4095 output scale
+    assert np.abs(S_f - S_q).max() < 30.0, np.abs(S_f - S_q).max()
+    # reload re-quantizes without structural errors
+    import jax
+    from sshslie_tpu import checkpoints
+    from sshslie_tpu.train import make_optimizer
+
+    params = jax.tree.map(np.asarray, fp32._params_template)
+    tx = make_optimizer()
+    ckpt = checkpoints.save_checkpoint(str(tmp_path / "q.ckpt"), params,
+                                       tx.init(params), epoch=1)
+    info = q.reload(ckpt)
+    assert info["epoch"] == 1
+    S_q2 = q.enhance(cube)["S"]
+    np.testing.assert_allclose(S_q, S_q2, atol=1e-4)
+
+
+def test_quantized_serving_rejects_mesh():
+    from sshslie_tpu.parallel.mesh import make_mesh
+
+    cfg = Config(channels=CHANNELS, patch_size=16, attention_impl="xla",
+                 serve_quantize="int8").finalize()
+    with pytest.raises(ValueError, match="single-chip"):
+        EnhanceService(cfg, CHANNELS, mesh=make_mesh("8"))
