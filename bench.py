@@ -40,13 +40,11 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    if jax.default_backend() != "cpu":
-        # Persistent compile cache (same policy as main.py): repeat bench
-        # runs skip the 20-40 s first compile.
-        cache_dir = os.path.expanduser("~/.cache/sshslie_tpu/xla")
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Persistent compile cache (same policy as main.py): repeat bench runs
+    # skip the 20-40 s first compile.
+    from sshslie_tpu.utils.jit_cache import enable as enable_jit_cache
+
+    enable_jit_cache()
 
     from sshslie_tpu.config import Config
     from sshslie_tpu.train import (

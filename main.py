@@ -92,14 +92,10 @@ def main(cfg: Config) -> None:
             # Must happen before any backend use. The env var alone is not
             # enough under launchers that import jax at interpreter start.
             jax.config.update("jax_platforms", cfg.device)
-        if cfg.jit_cache_dir and jax.default_backend() != "cpu":
-            # On by default — kills the 20-40 s first-compile on repeat runs.
-            # Skipped on CPU: XLA:CPU AOT cache entries pin the compile
-            # machine's ISA features and can SIGILL on a different host.
-            cache_dir = os.path.expanduser(cfg.jit_cache_dir)
-            os.makedirs(cache_dir, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # On by default — kills the 20-40 s first-compile on repeat runs.
+        from sshslie_tpu.utils.jit_cache import enable as enable_jit_cache
+
+        enable_jit_cache(cfg.jit_cache_dir)
         print("Using devices:", jax.devices())
 
         mesh = None

@@ -111,6 +111,7 @@ class Config:
     serve_warmup: str = ""                # phase=serve: pre-compile shapes, e.g. '512x512,1024x1024'
     serve_max_batch: int = 1              # phase=serve: coalesce concurrent same-shape requests (1 = off)
     serve_quantize: str = ""              # phase=serve: ''|'int8'|'fp8' weight-only quantized serving
+    serve_reload_token: str = ""          # phase=serve: required (X-Reload-Token) to reload arbitrary paths
     serve_batch_window_ms: float = 5.0    # phase=serve: batching window after first pending request
 
     # --- derived (filled by finalize(); do not set in YAML) ---

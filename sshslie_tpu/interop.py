@@ -151,13 +151,24 @@ def _flatten(tree: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
 
 
 def export_torch_checkpoint(params: Dict[str, Any], out_path: str,
-                            epoch: Optional[int] = None) -> str:
+                            epoch: Optional[int] = None,
+                            lr: float = 1e-3) -> str:
     """Write our params as a reference-format ``.pth`` checkpoint
-    ({epoch, model_state_dict}, reference model.py:595-601)."""
+    ({epoch, model_state_dict, optimizer_state_dict}, reference
+    model.py:595-601). The optimizer state is a fresh torch Adam over the
+    same parameter count (empty moments) so the reference's
+    ``load_checkpoint`` path (model.py:606 reads it unconditionally) works;
+    optimizer moments do not transfer across frameworks."""
     import torch
 
     sd = flax_params_to_torch_state_dict(params)
-    payload: Dict[str, Any] = {"model_state_dict": sd}
+    opt = torch.optim.Adam(
+        [torch.nn.Parameter(t.clone()) for t in sd.values()], lr=lr
+    )
+    payload: Dict[str, Any] = {
+        "model_state_dict": sd,
+        "optimizer_state_dict": opt.state_dict(),
+    }
     if epoch is not None:
         payload["epoch"] = int(epoch)
     if not out_path.endswith(".pth"):

@@ -122,7 +122,10 @@ class QuantizedInferencer:
             lambda qp, x: model.apply({"params": dequantize_tree(qp)}, x)
         )
 
-    def __call__(self, params_ignored: Any, cube: np.ndarray):
+    def __call__(self, qparams: Any, cube: np.ndarray):
+        """API-compatible with Inferencer: pass None to use the instance's
+        qparams, or an updated quantized tree (hot-reload without
+        recompiling — the jitted fn is keyed on structure, not values)."""
         h, w, _ = cube.shape
         m = self.pad_multiple
         ph = (m - h % m) % m
@@ -130,7 +133,7 @@ class QuantizedInferencer:
         x = jnp.asarray(cube)[None, ...]
         if ph or pw:
             x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
-        R, I, Id, S = self._fn(self.qparams, x)
+        R, I, Id, S = self._fn(self.qparams if qparams is None else qparams, x)
         if ph or pw:
             R, I, Id, S = (t[:, :h, :w, :] for t in (R, I, Id, S))
         return R[0], I[0], Id[0], S[0]

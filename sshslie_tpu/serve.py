@@ -180,20 +180,14 @@ class EnhanceService:
             self._infer = ShardedInferencer(self.model, mesh, cfg.data_axis)
             # ShardedInferencer pads internally per its mesh; bucket on top.
         elif self.quantize:
-            from sshslie_tpu.ops.quant import dequantize_tree
+            from sshslie_tpu.ops.quant import QuantizedInferencer
 
             # Weights stay 8-bit in HBM; dequant fuses into the forward.
-            self._infer_fn = jax.jit(
-                lambda qp, x: self.model.apply({"params": dequantize_tree(qp)}, x)
+            # enhance() passes self.params explicitly, so hot-reload swaps
+            # weights without recompiling (same tree structure).
+            self._infer = QuantizedInferencer(
+                self.model, self.params, pad_multiple=1
             )
-
-            class _QInfer:
-                def __call__(_self, qparams, cube):
-                    x = jnp.asarray(cube)[None, ...]
-                    R, I, Id, S = self._infer_fn(qparams, x)
-                    return R[0], I[0], Id[0], S[0]
-
-            self._infer = _QInfer()
         else:
             self._infer = Inferencer(self.model, pad_multiple=1)
         self._device_lock = threading.Lock()
@@ -433,8 +427,23 @@ def _make_handler(service: EnhanceService):
             parsed = urlparse(self.path)
             if parsed.path == "/reload":
                 query = parse_qs(parsed.query)
+                target = query.get("checkpoint", [None])[0]
+                if target is not None:
+                    # Reloading an arbitrary filesystem path is a weight-swap
+                    # primitive — gate it behind a shared token so a reachable
+                    # port can't point the server at attacker-chosen files or
+                    # probe path existence. Token-less servers may still
+                    # reload their configured checkpoint (no path choice).
+                    token = cfg.serve_reload_token
+                    if not token or self.headers.get("X-Reload-Token") != token:
+                        self._json(403, {
+                            "error": "reload with an explicit checkpoint path "
+                                     "requires a matching X-Reload-Token "
+                                     "(config serve_reload_token)"
+                        })
+                        return
                 try:
-                    info = service.reload(query.get("checkpoint", [None])[0])
+                    info = service.reload(target)
                     self._json(200, info)
                 except (ValueError, FileNotFoundError) as e:
                     self._json(400, {"error": str(e)})

@@ -597,203 +597,216 @@ class Trainer:
         # write a resumable checkpoint, and return cleanly. TPU pods get
         # preempted; together with `resume: true` this makes training
         # restartable with at most one epoch of lost work. Installed only in
-        # the main thread (signal API restriction); restored on exit.
+        # the main thread (signal API restriction); restored in the finally.
         import signal
 
         self._stop_requested = False
         prev_handlers = {}
         if threading.current_thread() is threading.main_thread():
             def _request_stop(signum, _frame):
-                print(f"Received signal {signum}: will checkpoint and stop "
-                      "after this epoch")
+                if self._stop_requested:
+                    # Second signal: restore original behavior and escalate —
+                    # a user double-Ctrl-C must still force-stop mid-epoch.
+                    for s, h in prev_handlers.items():
+                        signal.signal(s, h)
+                    raise KeyboardInterrupt
                 self._stop_requested = True
+                # os.write is async-signal-safe; print() is not (a signal
+                # landing inside a buffered stdout write would raise a
+                # reentrancy RuntimeError and kill the run uncheckpointed).
+                os.write(2, f"\nsignal {signum}: will checkpoint and stop "
+                            "after this epoch (repeat to force)\n".encode())
 
             for sig in (signal.SIGTERM, signal.SIGINT):
                 prev_handlers[sig] = signal.signal(sig, _request_stop)
 
-        profiling = False
-        if cfg.profile_dir:
-            # Trace the first epoch (post-compile steps land in the trace too;
-            # TensorBoard-compatible output).
-            jax.profiler.start_trace(cfg.profile_dir)
-            profiling = True
+        try:
+            profiling = False
+            if cfg.profile_dir:
+                # Trace the first epoch (post-compile steps land in the trace too;
+                # TensorBoard-compatible output).
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
 
-        for epoch in range(start_epoch, cfg.epoch):
-            freeze = self.freeze_decom_epochs > 0 and epoch < self.freeze_decom_epochs
-            if self.freeze_decom_epochs > 0:
-                if epoch < self.freeze_decom_epochs:
-                    print(f"Epoch {epoch+1}: DecompositionNet frozen")
-                elif epoch == self.freeze_decom_epochs:
-                    # Reference recreates Adam at unfreeze (model.py:284-287):
-                    # all moments/counters reset.
-                    self.state = self.state.replace(
-                        opt_state=self.tx.init(self.state.params)
-                    )
-                    if self.mesh is not None:
-                        self.state = jax.device_put(
-                            self.state, replicated_sharding(self.mesh)
+            for epoch in range(start_epoch, cfg.epoch):
+                freeze = self.freeze_decom_epochs > 0 and epoch < self.freeze_decom_epochs
+                if self.freeze_decom_epochs > 0:
+                    if epoch < self.freeze_decom_epochs:
+                        print(f"Epoch {epoch+1}: DecompositionNet frozen")
+                    elif epoch == self.freeze_decom_epochs:
+                        # Reference recreates Adam at unfreeze (model.py:284-287):
+                        # all moments/counters reset.
+                        self.state = self.state.replace(
+                            opt_state=self.tx.init(self.state.params)
                         )
-                    print(f"Epoch {epoch+1}: DecompositionNet unfrozen")
+                        if self.mesh is not None:
+                            self.state = jax.device_put(
+                                self.state, replicated_sharding(self.mesh)
+                            )
+                        print(f"Epoch {epoch+1}: DecompositionNet unfrozen")
 
-            lr = self._lr_for_epoch(epoch)
-            epoch_sums = None
-            count = 0
-            if fused_cubes is not None and cfg.steps_per_dispatch > 1:
-                # K steps per dispatch; same RNG fold + cube indexing as the
-                # per-step fused path, so the trajectory is identical.
-                step = self._multistep_for(freeze)
-                k = cfg.steps_per_dispatch
-                for chunk_start in range(0, num_batches, k):
-                    ids = np.arange(chunk_start, min(chunk_start + k, num_batches))
-                    n_real = len(ids)
-                    # Pad remainder chunks to the fixed scan length K so the
-                    # multistep graph compiles exactly once; padding entries
-                    # are masked no-ops inside the scan.
-                    pad = k - n_real
-                    ids_padded = np.concatenate([ids, np.full(pad, ids[-1])]) if pad else ids
-                    valid = jnp.asarray(
-                        np.arange(k) < n_real if pad else np.ones(k, bool)
-                    )
-                    step_ids = jnp.asarray(
-                        epoch * num_batches + ids_padded, jnp.uint32
-                    )
-                    batch_starts = jnp.asarray(ids_padded * cfg.batch_size, jnp.int32)
-                    self.state, terms = step(
-                        self.state, fused_cubes, base_key,
-                        step_ids, batch_starts, valid, jnp.float32(lr),
-                    )
-                    epoch_sums = (
-                        terms if epoch_sums is None
-                        else jax.tree.map(jnp.add, epoch_sums, terms)
-                    )
-                    count += n_real
-                    # Honor log_every_step's every-N-batches cadence: print
-                    # when this chunk crossed an N boundary.
-                    if cfg.log_every_step and (
-                        (int(ids[-1]) + 1) // cfg.log_every_step
-                        > int(ids[0]) // cfg.log_every_step
-                    ):
-                        print(
-                            f"Epoch [{epoch+1}/{cfg.epoch}] "
-                            f"Batch [{int(ids[-1])+1}/{num_batches}] "
-                            f"Loss: {float(terms['total_loss']) / n_real:.6f}"
+                lr = self._lr_for_epoch(epoch)
+                epoch_sums = None
+                count = 0
+                if fused_cubes is not None and cfg.steps_per_dispatch > 1:
+                    # K steps per dispatch; same RNG fold + cube indexing as the
+                    # per-step fused path, so the trajectory is identical.
+                    step = self._multistep_for(freeze)
+                    k = cfg.steps_per_dispatch
+                    for chunk_start in range(0, num_batches, k):
+                        ids = np.arange(chunk_start, min(chunk_start + k, num_batches))
+                        n_real = len(ids)
+                        # Pad remainder chunks to the fixed scan length K so the
+                        # multistep graph compiles exactly once; padding entries
+                        # are masked no-ops inside the scan.
+                        pad = k - n_real
+                        ids_padded = np.concatenate([ids, np.full(pad, ids[-1])]) if pad else ids
+                        valid = jnp.asarray(
+                            np.arange(k) < n_real if pad else np.ones(k, bool)
                         )
-            elif fused_cubes is not None:
-                step = self._fused_step_for(freeze)
-                for batch_id in range(num_batches):
-                    key = jax.random.fold_in(base_key, epoch * num_batches + batch_id)
-                    self.state, terms = step(
-                        self.state, fused_cubes, key,
-                        jnp.int32(batch_id * cfg.batch_size), jnp.float32(lr),
-                    )
-                    epoch_sums = (
-                        terms if epoch_sums is None
-                        else jax.tree.map(jnp.add, epoch_sums, terms)
-                    )
-                    count += 1
-                    if cfg.log_every_step and (batch_id + 1) % cfg.log_every_step == 0:
-                        print(
-                            f"Epoch [{epoch+1}/{cfg.epoch}] "
-                            f"Batch [{batch_id+1}/{num_batches}] "
-                            f"Loss: {float(terms['total_loss']):.6f}"
+                        step_ids = jnp.asarray(
+                            epoch * num_batches + ids_padded, jnp.uint32
                         )
-            else:
-                step = self._step_for(freeze)
-                proc_slice = None
-                if self.mesh is not None and jax.process_count() > 1:
-                    from sshslie_tpu.parallel.distributed import process_batch_slice
+                        batch_starts = jnp.asarray(ids_padded * cfg.batch_size, jnp.int32)
+                        self.state, terms = step(
+                            self.state, fused_cubes, base_key,
+                            step_ids, batch_starts, valid, jnp.float32(lr),
+                        )
+                        epoch_sums = (
+                            terms if epoch_sums is None
+                            else jax.tree.map(jnp.add, epoch_sums, terms)
+                        )
+                        count += n_real
+                        # Honor log_every_step's every-N-batches cadence: print
+                        # when this chunk crossed an N boundary.
+                        if cfg.log_every_step and (
+                            (int(ids[-1]) + 1) // cfg.log_every_step
+                            > int(ids[0]) // cfg.log_every_step
+                        ):
+                            print(
+                                f"Epoch [{epoch+1}/{cfg.epoch}] "
+                                f"Batch [{int(ids[-1])+1}/{num_batches}] "
+                                f"Loss: {float(terms['total_loss']) / n_real:.6f}"
+                            )
+                elif fused_cubes is not None:
+                    step = self._fused_step_for(freeze)
+                    for batch_id in range(num_batches):
+                        key = jax.random.fold_in(base_key, epoch * num_batches + batch_id)
+                        self.state, terms = step(
+                            self.state, fused_cubes, key,
+                            jnp.int32(batch_id * cfg.batch_size), jnp.float32(lr),
+                        )
+                        epoch_sums = (
+                            terms if epoch_sums is None
+                            else jax.tree.map(jnp.add, epoch_sums, terms)
+                        )
+                        count += 1
+                        if cfg.log_every_step and (batch_id + 1) % cfg.log_every_step == 0:
+                            print(
+                                f"Epoch [{epoch+1}/{cfg.epoch}] "
+                                f"Batch [{batch_id+1}/{num_batches}] "
+                                f"Loss: {float(terms['total_loss']):.6f}"
+                            )
+                else:
+                    step = self._step_for(freeze)
+                    proc_slice = None
+                    if self.mesh is not None and jax.process_count() > 1:
+                        from sshslie_tpu.parallel.distributed import process_batch_slice
 
-                    proc_slice = process_batch_slice(cfg.batch_size)
-                batches = Prefetcher(
-                    sampler.epoch(), sharding=sharding, depth=cfg.prefetch_batches,
-                    process_slice=proc_slice, mesh=self.mesh,
-                    data_axis=cfg.data_axis, space_axis=cfg.space_axis,
-                )
-                for batch_id, batch in enumerate(batches):
-                    self.state, terms = step(self.state, batch, jnp.float32(lr))
-                    epoch_sums = (
-                        terms
-                        if epoch_sums is None
-                        else jax.tree.map(jnp.add, epoch_sums, terms)
+                        proc_slice = process_batch_slice(cfg.batch_size)
+                    batches = Prefetcher(
+                        sampler.epoch(), sharding=sharding, depth=cfg.prefetch_batches,
+                        process_slice=proc_slice, mesh=self.mesh,
+                        data_axis=cfg.data_axis, space_axis=cfg.space_axis,
                     )
-                    count += 1
-                    if cfg.log_every_step and (batch_id + 1) % cfg.log_every_step == 0:
-                        print(
-                            f"Epoch [{epoch+1}/{cfg.epoch}] "
-                            f"Batch [{batch_id+1}/{num_batches}] "
-                            f"Loss: {float(terms['total_loss']):.6f}"
+                    for batch_id, batch in enumerate(batches):
+                        self.state, terms = step(self.state, batch, jnp.float32(lr))
+                        epoch_sums = (
+                            terms
+                            if epoch_sums is None
+                            else jax.tree.map(jnp.add, epoch_sums, terms)
                         )
+                        count += 1
+                        if cfg.log_every_step and (batch_id + 1) % cfg.log_every_step == 0:
+                            print(
+                                f"Epoch [{epoch+1}/{cfg.epoch}] "
+                                f"Batch [{batch_id+1}/{num_batches}] "
+                                f"Loss: {float(terms['total_loss']):.6f}"
+                            )
 
-            # Single device→host sync per epoch.
-            host_sums = (
-                {k: float(v) for k, v in jax.device_get(epoch_sums).items()}
-                if epoch_sums is not None
-                else {k: 0.0 for k in LOSS_KEYS}
-            )
-            avg = {k: (host_sums[k] / count if count else 0.0) for k in LOSS_KEYS}
-            for k in LOSS_KEYS:
-                self.all_epoch_losses[k].append(avg[k])
-
-            if eval_result_dir and (epoch + 1) % cfg.plot_every_epoch == 0 and self.observer:
-                self.observer.plot_loss_curve(
-                    self.all_epoch_losses,
-                    os.path.join(eval_result_dir, "loss_curves.png"),
+                # Single device→host sync per epoch.
+                host_sums = (
+                    {k: float(v) for k, v in jax.device_get(epoch_sums).items()}
+                    if epoch_sums is not None
+                    else {k: 0.0 for k in LOSS_KEYS}
                 )
+                avg = {k: (host_sums[k] / count if count else 0.0) for k in LOSS_KEYS}
+                for k in LOSS_KEYS:
+                    self.all_epoch_losses[k].append(avg[k])
 
-            if (epoch + 1) % cfg.eval_every_epoch == 0:
-                if evaluator is not None and eval_store is not None and eval_result_dir:
-                    if eval_pool is not None:
-                        # Snapshot params to host *now* — the live buffers are
-                        # donated to the next step and become invalid.
-                        view = _SnapshotView(self, jax.device_get(self.state.params))
-                        pending_evals.append((
-                            epoch + 1,
-                            eval_pool.submit(
-                                evaluator, view, eval_store, eval_result_dir,
-                                epoch + 1, label_dir,
-                            ),
-                        ))
-                    else:
-                        _record_eval(
-                            epoch + 1,
-                            evaluator(
-                                self, eval_store, eval_result_dir, epoch + 1, label_dir
-                            ),
-                        )
-                checkpoints.save_checkpoint(
-                    checkpoints.epoch_path(ckpt_dir, epoch + 1),
-                    self.state.params, self.state.opt_state, epoch + 1,
-                )
-                checkpoints.save_checkpoint(
-                    checkpoints.latest_path(ckpt_dir),
-                    self.state.params, self.state.opt_state, epoch + 1,
-                )
-                if cfg.checkpoint_keep > 0:
-                    checkpoints.prune_checkpoints(ckpt_dir, cfg.checkpoint_keep)
+                if eval_result_dir and (epoch + 1) % cfg.plot_every_epoch == 0 and self.observer:
+                    self.observer.plot_loss_curve(
+                        self.all_epoch_losses,
+                        os.path.join(eval_result_dir, "loss_curves.png"),
+                    )
 
-            if profiling:
-                jax.profiler.stop_trace()
-                profiling = False
-                print(f"Profiler trace written to {cfg.profile_dir}")
+                if (epoch + 1) % cfg.eval_every_epoch == 0:
+                    if evaluator is not None and eval_store is not None and eval_result_dir:
+                        if eval_pool is not None:
+                            # Snapshot params to host *now* — the live buffers are
+                            # donated to the next step and become invalid.
+                            view = _SnapshotView(self, jax.device_get(self.state.params))
+                            pending_evals.append((
+                                epoch + 1,
+                                eval_pool.submit(
+                                    evaluator, view, eval_store, eval_result_dir,
+                                    epoch + 1, label_dir,
+                                ),
+                            ))
+                        else:
+                            _record_eval(
+                                epoch + 1,
+                                evaluator(
+                                    self, eval_store, eval_result_dir, epoch + 1, label_dir
+                                ),
+                            )
+                    checkpoints.save_checkpoint(
+                        checkpoints.epoch_path(ckpt_dir, epoch + 1),
+                        self.state.params, self.state.opt_state, epoch + 1,
+                    )
+                    checkpoints.save_checkpoint(
+                        checkpoints.latest_path(ckpt_dir),
+                        self.state.params, self.state.opt_state, epoch + 1,
+                    )
+                    if cfg.checkpoint_keep > 0:
+                        checkpoints.prune_checkpoints(ckpt_dir, cfg.checkpoint_keep)
 
-            if self.mlflow:
-                self.mlflow.log_metric("learning_rate", lr, step=epoch)
-                self.mlflow.log_metrics(avg, step=epoch)
-            print(f"Epoch [{epoch+1}/{cfg.epoch}] Average Loss: {avg['total_loss']:.6f}")
-            if eval_pool is not None:
-                _drain_evals(block=False)
+                if profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"Profiler trace written to {cfg.profile_dir}")
 
-            if self._stop_requested:
-                checkpoints.save_checkpoint(
-                    checkpoints.latest_path(ckpt_dir),
-                    self.state.params, self.state.opt_state, epoch + 1,
-                )
-                print(f"Preemption checkpoint written at epoch {epoch+1}; "
-                      "stopping (resume with resume: true)")
-                break
+                if self.mlflow:
+                    self.mlflow.log_metric("learning_rate", lr, step=epoch)
+                    self.mlflow.log_metrics(avg, step=epoch)
+                print(f"Epoch [{epoch+1}/{cfg.epoch}] Average Loss: {avg['total_loss']:.6f}")
+                if eval_pool is not None:
+                    _drain_evals(block=False)
 
-        for sig, handler in prev_handlers.items():
-            signal.signal(sig, handler)
+                if self._stop_requested:
+                    checkpoints.save_checkpoint(
+                        checkpoints.latest_path(ckpt_dir),
+                        self.state.params, self.state.opt_state, epoch + 1,
+                    )
+                    print(f"Preemption checkpoint written at epoch {epoch+1}; "
+                          "stopping (resume with resume: true)")
+                    break
+
+        finally:
+            # Always restore the original signal handlers — a mid-train
+            # exception must not leave the process uninterruptible.
+            for sig, handler in prev_handlers.items():
+                signal.signal(sig, handler)
 
         if eval_pool is not None:
             _drain_evals(block=True)

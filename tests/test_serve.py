@@ -199,59 +199,98 @@ class TestMicroBatching:
             batched_service.enhance(np.zeros((8, 8, CHANNELS + 2), np.float32))
 
 
-def test_reload_hot_swaps_params(tmp_path, service):
-    """POST /reload swaps params in place: same buckets, new weights."""
+def test_reload_hot_swaps_params(tmp_path):
+    """service.reload swaps params in place: same buckets, new weights.
+    Uses its own service — reload mutates state, and the module fixture is
+    shared with the HTTP tests."""
     import jax
     import jax.numpy as jnp
 
     from sshslie_tpu import checkpoints
     from sshslie_tpu.train import make_optimizer
 
+    cfg = Config(channels=CHANNELS, patch_size=16, global_min=0.0,
+                 global_max=4095.0, attention_impl="xla",
+                 serve_pad_multiple=16).finalize()
+    svc = EnhanceService(cfg, CHANNELS)
     rng = np.random.RandomState(11)
     cube = (rng.rand(16, 16, CHANNELS) * 100).astype(np.float32)
-    before = service.enhance(cube)["S"]
+    before = svc.enhance(cube)["S"]
 
     # perturb params, write a checkpoint, reload
-    new_params = jax.tree.map(lambda x: jnp.asarray(x) * 1.1, service.params)
+    new_params = jax.tree.map(lambda x: jnp.asarray(x) * 1.1, svc.params)
     tx = make_optimizer()
     ckpt = checkpoints.save_checkpoint(
         str(tmp_path / "hot.ckpt"), new_params, tx.init(new_params), epoch=9)
-    info = service.reload(ckpt)
+    info = svc.reload(ckpt)
     assert info["epoch"] == 9 and info["reloads"] >= 1
-    after = service.enhance(cube)["S"]
+    after = svc.enhance(cube)["S"]
     assert not np.allclose(before, after)
     # stats/buckets survive the swap
-    assert len(service.stats()["buckets"]) >= 1
+    assert len(svc.stats()["buckets"]) >= 1
 
 
-def test_reload_requires_path(service):
-    service.checkpoint_path = None
+def test_reload_requires_path():
+    cfg = Config(channels=CHANNELS, patch_size=16, attention_impl="xla",
+                 serve_pad_multiple=16).finalize()
+    svc = EnhanceService(cfg, CHANNELS)
     with pytest.raises(ValueError):
-        service.reload()
+        svc.reload()
 
 
-def test_http_reload_endpoint(tmp_path, server, service):
+def test_http_reload_requires_token_for_paths(tmp_path, server):
+    """Explicit-checkpoint reload without a configured token → 403."""
+    import http.client
+
+    conn = http.client.HTTPConnection(server.host, server.port, timeout=60)
+    conn.request("POST", "/reload?checkpoint=/nope/missing.ckpt")
+    resp = conn.getresponse()
+    payload = json.loads(resp.read())
+    conn.close()
+    assert resp.status == 403
+    assert "X-Reload-Token" in payload["error"]
+
+
+def test_http_reload_with_token(tmp_path):
+    """A token-configured server accepts authenticated path reloads and
+    rejects bad tokens."""
     import http.client
     import jax
 
     from sshslie_tpu import checkpoints
     from sshslie_tpu.train import make_optimizer
 
-    params = jax.tree.map(np.asarray, service.params)
-    tx = make_optimizer()
-    ckpt = checkpoints.save_checkpoint(
-        str(tmp_path / "h2.ckpt"), params, tx.init(params), epoch=3)
-    conn = http.client.HTTPConnection(server.host, server.port, timeout=60)
-    conn.request("POST", f"/reload?checkpoint={ckpt}")
-    resp = conn.getresponse()
-    payload = json.loads(resp.read())
-    assert resp.status == 200 and payload["epoch"] == 3
-    # bogus path → 400/500, not a dropped connection
-    conn.request("POST", "/reload?checkpoint=/nope/missing.ckpt")
-    resp = conn.getresponse()
-    assert resp.status in (400, 500)
-    resp.read()
-    conn.close()
+    cfg = Config(channels=CHANNELS, patch_size=16, global_min=0.0,
+                 global_max=4095.0, attention_impl="xla",
+                 serve_pad_multiple=16, serve_reload_token="s3cret").finalize()
+    svc = EnhanceService(cfg, CHANNELS)
+    srv = EnhanceServer(svc, port=0).start()
+    try:
+        params = jax.tree.map(np.asarray, svc.params)
+        tx = make_optimizer()
+        ckpt = checkpoints.save_checkpoint(
+            str(tmp_path / "h2.ckpt"), params, tx.init(params), epoch=3)
+        conn = http.client.HTTPConnection(srv.host, srv.port, timeout=60)
+        conn.request("POST", f"/reload?checkpoint={ckpt}",
+                     headers={"X-Reload-Token": "s3cret"})
+        resp = conn.getresponse()
+        payload = json.loads(resp.read())
+        assert resp.status == 200 and payload["epoch"] == 3
+        # wrong token → 403
+        conn.request("POST", f"/reload?checkpoint={ckpt}",
+                     headers={"X-Reload-Token": "wrong"})
+        resp = conn.getresponse()
+        assert resp.status == 403
+        resp.read()
+        # authenticated bogus path → 400/500, not a dropped connection
+        conn.request("POST", "/reload?checkpoint=/nope/missing.ckpt",
+                     headers={"X-Reload-Token": "s3cret"})
+        resp = conn.getresponse()
+        assert resp.status in (400, 500)
+        resp.read()
+        conn.close()
+    finally:
+        srv.shutdown()
 
 
 def test_quantized_serving_close_to_fp32(tmp_path):
