@@ -148,26 +148,32 @@ def _save_outputs(
     cfg: Config,
     out_dir: str,
     filename: str,
-    S: np.ndarray,
-    R: np.ndarray,
-    I: np.ndarray,
-    I_delta: np.ndarray,
+    S,
+    R,
+    I,
+    I_delta,
     save_reflectance: bool,
     save_illumination: bool,
     save_i_delta: bool,
 ) -> None:
-    """Denormalize + persist S and optional artifacts (model.py:371-388)."""
+    """Denormalize + persist S and optional artifacts (model.py:371-388).
+
+    Accepts device arrays; artifacts are fetched to host ONLY when their
+    save flag is on — each skipped fetch avoids a full-cube device→host
+    transfer (67 MB at 512²×64, seconds through a relayed transport).
+    """
+    S = np.asarray(S)
     if cfg.global_min is not None and cfg.global_max is not None:
         S = S * (cfg.global_max - cfg.global_min) + cfg.global_min
     save_hsi(os.path.join(out_dir, filename), S, key=cfg.mat_key_prediction)
     artifact_dir = os.path.join(out_dir, "artifacts")
     stem = filename.split(".")[0]
     if save_reflectance:
-        save_hsi(os.path.join(artifact_dir, stem + "_R_low.mat"), R)
+        save_hsi(os.path.join(artifact_dir, stem + "_R_low.mat"), np.asarray(R))
     if save_illumination:
-        save_hsi(os.path.join(artifact_dir, stem + "_I_low.mat"), I)
+        save_hsi(os.path.join(artifact_dir, stem + "_I_low.mat"), np.asarray(I))
     if save_i_delta:
-        save_hsi(os.path.join(artifact_dir, stem + "_I_delta.mat"), I_delta)
+        save_hsi(os.path.join(artifact_dir, stem + "_I_delta.mat"), np.asarray(I_delta))
 
 
 def evaluate_model(
@@ -195,7 +201,7 @@ def evaluate_model(
         R, I, Id, S = infer(trainer.state.params, cube)
         _save_outputs(
             cfg, epoch_dir, filename,
-            np.asarray(S), np.asarray(R), np.asarray(I), np.asarray(Id),
+            S, R, I, Id,
             cfg.save_reflectance, cfg.save_illumination, cfg.save_i_delta,
         )
     scores = None
@@ -243,7 +249,7 @@ def test_model(
         total_run_time += run_time
         _save_outputs(
             cfg, save_dir, filename,
-            np.asarray(S), np.asarray(R), np.asarray(I), np.asarray(Id),
+            S, R, I, Id,
             cfg.save_reflectance, cfg.save_illumination, cfg.save_i_delta,
         )
         print(f"Processed {filename} in {run_time:.4f} seconds.")
