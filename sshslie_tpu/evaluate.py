@@ -196,14 +196,21 @@ def evaluate_model(
     epoch_dir = os.path.join(eval_result_dir, f"epoch_{epoch}")
     os.makedirs(epoch_dir, exist_ok=True)
     infer = Inferencer(trainer.model, cfg.eval_pad_multiple)
-    for idx, cube in enumerate(eval_store.cubes):
-        filename = os.path.basename(eval_store.files[idx])
-        R, I, Id, S = infer(trainer.state.params, cube)
-        _save_outputs(
-            cfg, epoch_dir, filename,
-            S, R, I, Id,
-            cfg.save_reflectance, cfg.save_illumination, cfg.save_i_delta,
-        )
+    # Saving (device→host fetch + .mat write) runs on a worker thread so the
+    # next cube's inference dispatches immediately — save and compute overlap.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1, thread_name_prefix="eval-save") as pool:
+        saves = []
+        for idx, cube in enumerate(eval_store.cubes):
+            filename = os.path.basename(eval_store.files[idx])
+            R, I, Id, S = infer(trainer.state.params, cube)
+            saves.append(pool.submit(
+                _save_outputs, cfg, epoch_dir, filename, S, R, I, Id,
+                cfg.save_reflectance, cfg.save_illumination, cfg.save_i_delta,
+            ))
+        for fut in saves:
+            fut.result()
     scores = None
     if label_dir:
         try:
@@ -239,20 +246,26 @@ def test_model(
     os.makedirs(save_dir, exist_ok=True)
     infer = Inferencer(trainer.model, cfg.eval_pad_multiple)
     total_run_time = 0.0
-    for idx, cube in enumerate(test_store.cubes):
-        filename = os.path.basename(test_store.files[idx])
-        print(f"Processing {filename}")
-        start = time.time()
-        R, I, Id, S = infer(trainer.state.params, cube)
-        jax.block_until_ready(S)
-        run_time = time.time() - start
-        total_run_time += run_time
-        _save_outputs(
-            cfg, save_dir, filename,
-            S, R, I, Id,
-            cfg.save_reflectance, cfg.save_illumination, cfg.save_i_delta,
-        )
-        print(f"Processed {filename} in {run_time:.4f} seconds.")
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1, thread_name_prefix="test-save") as pool:
+        saves = []
+        for idx, cube in enumerate(test_store.cubes):
+            filename = os.path.basename(test_store.files[idx])
+            print(f"Processing {filename}")
+            start = time.time()
+            R, I, Id, S = infer(trainer.state.params, cube)
+            jax.block_until_ready(S)
+            run_time = time.time() - start
+            total_run_time += run_time
+            # Fetch + .mat write overlap the next file's inference.
+            saves.append(pool.submit(
+                _save_outputs, cfg, save_dir, filename, S, R, I, Id,
+                cfg.save_reflectance, cfg.save_illumination, cfg.save_i_delta,
+            ))
+            print(f"Processed {filename} in {run_time:.4f} seconds.")
+        for fut in saves:
+            fut.result()
     n = len(test_store.cubes)
     avg = total_run_time / n if n else 0.0
     print(f"Average run time: {avg:.4f} seconds.")
