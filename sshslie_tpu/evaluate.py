@@ -144,6 +144,53 @@ class BandShardedInferencer:
         return R[0], I[0], Id[0], S[0]
 
 
+class _OverlappedSaver:
+    """Bounded single-worker save pipeline.
+
+    Device→host fetches + .mat writes run on a worker thread so the next
+    file's inference dispatches immediately, with two guarantees the naive
+    fire-and-forget version lacks:
+
+      * **backpressure** — at most ``depth`` saves are pending, so queued
+        futures pin at most ``depth`` files' device output buffers in HBM
+        (a 512²×224 file's four outputs are ~0.9 GB; an unbounded queue
+        OOMs when inference outruns a slow transport);
+      * **fail-fast** — submit() drains the oldest future first, so a
+        disk-full on file 1 surfaces at file ``depth``+1, not after the
+        whole dataset has been inferenced.
+    """
+
+    def __init__(self, depth: int = 2):
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="save")
+        self._pending: "deque" = deque()
+        self.depth = max(int(depth), 1)
+
+    def submit(self, fn, *args) -> None:
+        while len(self._pending) >= self.depth:
+            self._pending.popleft().result()
+        self._pending.append(self._pool.submit(fn, *args))
+
+    def __enter__(self) -> "_OverlappedSaver":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        try:
+            if exc_type is None:
+                while self._pending:
+                    self._pending.popleft().result()
+            else:
+                # Inference raised: don't mask it, but do report save errors.
+                while self._pending:
+                    e = self._pending.popleft().exception()
+                    if e is not None:
+                        print(f"(save error during teardown: {e})")
+        finally:
+            self._pool.shutdown(wait=True)
+
+
 def _save_outputs(
     cfg: Config,
     out_dir: str,
@@ -167,7 +214,9 @@ def _save_outputs(
         S = S * (cfg.global_max - cfg.global_min) + cfg.global_min
     save_hsi(os.path.join(out_dir, filename), S, key=cfg.mat_key_prediction)
     artifact_dir = os.path.join(out_dir, "artifacts")
-    stem = filename.split(".")[0]
+    # splitext, not split('.'): multi-dot names (scene.v1.mat / scene.v2.mat)
+    # must not collide in the artifact dir.
+    stem = os.path.splitext(filename)[0]
     if save_reflectance:
         save_hsi(os.path.join(artifact_dir, stem + "_R_low.mat"), np.asarray(R))
     if save_illumination:
@@ -196,21 +245,14 @@ def evaluate_model(
     epoch_dir = os.path.join(eval_result_dir, f"epoch_{epoch}")
     os.makedirs(epoch_dir, exist_ok=True)
     infer = Inferencer(trainer.model, cfg.eval_pad_multiple)
-    # Saving (device→host fetch + .mat write) runs on a worker thread so the
-    # next cube's inference dispatches immediately — save and compute overlap.
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=1, thread_name_prefix="eval-save") as pool:
-        saves = []
+    with _OverlappedSaver() as saver:
         for idx, cube in enumerate(eval_store.cubes):
             filename = os.path.basename(eval_store.files[idx])
             R, I, Id, S = infer(trainer.state.params, cube)
-            saves.append(pool.submit(
+            saver.submit(
                 _save_outputs, cfg, epoch_dir, filename, S, R, I, Id,
                 cfg.save_reflectance, cfg.save_illumination, cfg.save_i_delta,
-            ))
-        for fut in saves:
-            fut.result()
+            )
     scores = None
     if label_dir:
         try:
@@ -246,26 +288,23 @@ def test_model(
     os.makedirs(save_dir, exist_ok=True)
     infer = Inferencer(trainer.model, cfg.eval_pad_multiple)
     total_run_time = 0.0
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=1, thread_name_prefix="test-save") as pool:
-        saves = []
+    with _OverlappedSaver() as saver:
         for idx, cube in enumerate(test_store.cubes):
             filename = os.path.basename(test_store.files[idx])
             print(f"Processing {filename}")
             start = time.time()
             R, I, Id, S = infer(trainer.state.params, cube)
+            # True sync on directly-attached TPUs; on the axon relay this can
+            # return early and per-file times read low — use bench.py's
+            # chain-differenced numbers for trustworthy relay measurements.
             jax.block_until_ready(S)
             run_time = time.time() - start
             total_run_time += run_time
-            # Fetch + .mat write overlap the next file's inference.
-            saves.append(pool.submit(
+            saver.submit(
                 _save_outputs, cfg, save_dir, filename, S, R, I, Id,
                 cfg.save_reflectance, cfg.save_illumination, cfg.save_i_delta,
-            ))
+            )
             print(f"Processed {filename} in {run_time:.4f} seconds.")
-        for fut in saves:
-            fut.result()
     n = len(test_store.cubes)
     avg = total_run_time / n if n else 0.0
     print(f"Average run time: {avg:.4f} seconds.")
