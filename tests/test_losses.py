@@ -142,3 +142,28 @@ def test_smooth_loss_constant_image_zero():
     R = jnp.ones((1, 8, 8, 3))
     assert float(smooth_loss(I, R)) == 0.0
     assert float(spectral_smoothness_loss(R)) == 0.0
+
+
+@pytest.mark.parametrize("H,W", [(13, 15), (13, 14), (17, 17), (16, 15)])
+def test_fourier_loss_odd_sizes_vs_torch(rng, H, W):
+    """SURVEY §7 hard part: the radial high-pass mask must match the
+    reference's linspace(-1,1) construction under odd AND mixed-parity
+    sizes (odd linspaces include an exact 0 sample, changing the excluded
+    disk)."""
+    B, C = 2, 3
+    inp = rng.rand(B, H, W, C).astype(np.float32)
+    S = rng.rand(B, H, W, C).astype(np.float32)
+    got = float(fourier_spectrum_loss(jnp.array(inp), jnp.array(S)))
+    it, st = _nchw(inp), _nchw(S)
+    fft_i = torch.fft.fft2(it)
+    fft_s = torch.fft.fft2(st)
+    y = torch.linspace(-1, 1, H)
+    x = torch.linspace(-1, 1, W)
+    Y, X = torch.meshgrid(y, x, indexing="ij")
+    mask = ((X**2 + Y**2).sqrt() >= 0.1).float()[None, None]
+    want = float(torch.mean(torch.abs(torch.abs(fft_i * mask) - torch.abs(fft_s * mask))))
+    assert got == pytest.approx(want, rel=1e-4)
+    # odd axes sample frequency 0 exactly → the zero bin must be masked out
+    if H % 2 == 1 and W % 2 == 1:
+        m = np.asarray(fourier_highpass_mask(H, W, cutoff=0.1))
+        assert m[H // 2, W // 2] == 0.0
