@@ -28,6 +28,31 @@ def _build_trainer(cfg: Config, channels: int, mesh, mlflow):
     return Trainer(cfg, channels, mesh=mesh, mlflow=mlflow, observer=RunObserver())
 
 
+def _log_source_artifacts(mlflow) -> None:
+    """Log the run's source files so every MLflow run is self-describing
+    (reference main.py:243-248 logs its .py files per run). The framework is
+    a package, so a git commit stamp + the entry point stand in for the flat
+    file list; falls back to just main.py outside a git checkout."""
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        head = subprocess.run(
+            ["git", "-C", root, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except (OSError, subprocess.TimeoutExpired):
+        head = ""
+    if head:
+        mlflow.log_param("source_git_commit", head)
+    mlflow.log_artifact(os.path.abspath(__file__))
+    pkg = os.path.join(root, "sshslie_tpu")
+    for name in ("config.py", "train.py", "evaluate.py", "metrics.py"):
+        path = os.path.join(pkg, name)
+        if os.path.exists(path):
+            mlflow.log_artifact(path)
+
+
 def run_train(trainer, cfg: Config) -> None:
     from sshslie_tpu.data.datasets import store_from_config
     from sshslie_tpu.evaluate import evaluate_model
@@ -149,6 +174,7 @@ def main(cfg: Config) -> None:
                 mlflow.log_param(key, getattr(cfg, key))
             if cfg.config_path:
                 mlflow.log_artifact(cfg.config_path)
+            _log_source_artifacts(mlflow)
 
             if cfg.phase == "train":
                 mlflow.log_param("data_train", cfg.train_data)

@@ -24,18 +24,25 @@ from typing import Any, Optional
 import yaml
 
 
-def _latest_run_timestamp(model_name: str) -> str:
-    """Newest ``Decomposition_<ts>`` run of this model holding a resumable
-    ``model_epoch_latest`` checkpoint ('' when none exists)."""
+def _latest_run_timestamp(model_ckpt_dir: str) -> str:
+    """Newest ``Decomposition_<ts>`` run under ``model_ckpt_dir`` holding a
+    resumable ``model_epoch_latest`` checkpoint ('' when none exists).
+
+    Prints the scanned path on a miss: the layout is CWD-relative (reference
+    parity), so resuming from a different working directory used to silently
+    start fresh — now it says exactly where it looked."""
     from glob import glob
 
+    scan = os.path.join(model_ckpt_dir, "Decomposition_*", "model_epoch_latest.ckpt")
     candidates = []
-    for ck in glob(os.path.join(
-        ".", "checkpoint", model_name, "Decomposition_*", "model_epoch_latest.ckpt"
-    )):
+    for ck in glob(scan):
         ts = os.path.basename(os.path.dirname(ck))[len("Decomposition_"):]
         candidates.append((os.path.getmtime(ck), ts))
-    return max(candidates)[1] if candidates else ""
+    if not candidates:
+        print(f"resume: no resumable checkpoint found (scanned "
+              f"{os.path.abspath(scan)}); starting a new run")
+        return ""
+    return max(candidates)[1]
 
 
 @dataclasses.dataclass
@@ -97,6 +104,7 @@ class Config:
     lazy_loading: bool = False            # disk-backed LRU cube store (datasets larger than RAM)
     cube_cache_size: int = 8              # lazy_loading: cubes kept resident
     fused_pipeline: str = "auto"          # 'auto'|'on'|'off': on-device sampling+step graph
+    sampler: str = "auto"                 # host sampler: 'auto'|'native'|'python' (RNG streams differ; see docs/PARITY.md)
     steps_per_dispatch: int = 1           # fused pipeline: scan K steps per device dispatch (amortizes launch latency)
     log_every_step: int = 0               # 0 = per-epoch logging only (avoid device→host syncs)
     checkpoint_keep: int = 0              # 0 = keep all periodic checkpoints
@@ -129,6 +137,8 @@ class Config:
         now = now or datetime.now()
         if not self.timestamp:
             self.timestamp = f"{now:%Y%m%d_%H%M%S}"
+        # Derived before the resume branch: resume discovery scans under it.
+        self.model_ckpt_dir = os.path.join(".", "checkpoint", self.model_name)
         postfix = ""
         if self.phase in ("test", "serve"):
             postfix = "_test_" + self.timestamp
@@ -142,11 +152,10 @@ class Config:
             # the checkpoint/eval/log directories line up with it. Without an
             # explicit test_timestamp, pick the most recent run of this model
             # that actually has a resumable checkpoint.
-            ts = self.test_timestamp or _latest_run_timestamp(self.model_name)
+            ts = self.test_timestamp or _latest_run_timestamp(self.model_ckpt_dir)
             if ts:
                 self.timestamp = ts
         self.full_model_name = f"{self.model_name}_{self.timestamp}{postfix}"
-        self.model_ckpt_dir = os.path.join(".", "checkpoint", self.model_name)
         self.eval_result_dir = os.path.join(".", "results", "eval_results_" + self.full_model_name)
         self.test_result_dir = os.path.join(".", "results", "test_results_" + self.full_model_name)
         self.test_model_dir = os.path.join(

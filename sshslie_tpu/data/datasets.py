@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
+from collections import OrderedDict
 from glob import glob
 from typing import Iterator, List, Optional
 
@@ -106,8 +107,9 @@ class LazyCubeStore(CubeStore):
             max_val=global_max, min_val=global_min,
         )
         self.cache_size = max(int(cache_size), 1)
-        self._cache: "dict[int, np.ndarray]" = {}
-        self._order: List[int] = []
+        # OrderedDict doubles as the LRU order: move_to_end on hit, popitem
+        # (FIFO side) to evict — O(1) where a list.remove scan is O(n).
+        self._cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
         self.load_count = 0  # observability: total disk loads incl. re-loads
         self.shapes: List[tuple] = []
         for f in self.files:
@@ -135,15 +137,12 @@ class LazyCubeStore(CubeStore):
         if idx < 0:
             idx += len(self)
         if idx in self._cache:
-            self._order.remove(idx)
-            self._order.append(idx)
+            self._cache.move_to_end(idx)
             return self._cache[idx]
         cube = self._load(idx)
         self._cache[idx] = cube
-        self._order.append(idx)
-        while len(self._order) > self.cache_size:
-            evict = self._order.pop(0)
-            del self._cache[evict]
+        while len(self._cache) > self.cache_size:
+            self._cache.popitem(last=False)
         return cube
 
     @property

@@ -130,14 +130,36 @@ class NativePatchSampler:
 
 
 def make_sampler(store: CubeStore, batch_size: int, patch_size: int,
-                 seed: int = 41, prefer_native: bool = True):
-    """Best-available sampler: native if built, else the Python PatchSampler.
+                 seed: int = 41, prefer_native: bool = True,
+                 mode: str = "auto"):
+    """Select the host patch sampler (config key ``sampler``).
+
+    * ``auto``   — native if built, else the Python PatchSampler (the
+      round-1 default). NOTE: the two samplers draw from different RNG
+      streams (xoshiro vs PCG64), so 'auto' runs are only bit-reproducible
+      on machines with the same build state — the caller should log the
+      choice (Trainer.fit does; see docs/PARITY.md).
+    * ``native`` — require the C++ sampler; raise if native/build.sh wasn't
+      run or the store is disk-backed.
+    * ``python`` — force the Python PatchSampler (PCG64 stream).
 
     Disk-backed stores (LazyCubeStore) always use the Python sampler — the
-    native library pins every cube in RAM, which defeats lazy loading."""
+    native library pins every cube in RAM, which defeats lazy loading.
+    ``prefer_native=False`` is a legacy alias for mode='python'."""
     from sshslie_tpu.data.datasets import LazyCubeStore, PatchSampler
 
-    if (prefer_native and native_available()
-            and not isinstance(store, LazyCubeStore)):
+    if mode not in ("auto", "native", "python"):
+        raise ValueError(f"sampler mode must be auto|native|python, got {mode!r}")
+    if not prefer_native and mode == "auto":
+        mode = "python"
+    lazy = isinstance(store, LazyCubeStore)
+    if mode == "native":
+        if lazy:
+            raise ValueError(
+                "sampler='native' is incompatible with lazy_loading: the "
+                "native sampler pins every cube in RAM"
+            )
+        return NativePatchSampler(store, batch_size, patch_size, seed)
+    if mode == "auto" and native_available() and not lazy:
         return NativePatchSampler(store, batch_size, patch_size, seed)
     return PatchSampler(store, batch_size, patch_size, seed)

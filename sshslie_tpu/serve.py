@@ -30,6 +30,7 @@ or ``python main.py --config ... --phase serve``.
 
 from __future__ import annotations
 
+import hmac
 import io
 import json
 import os
@@ -88,6 +89,12 @@ class _MicroBatcher:
 
         fut: "Future" = Future()
         with self._cv:
+            if self._closed:
+                # The loop thread has exited (or is draining); an enqueued
+                # entry would never run and the caller's result() would block
+                # forever.
+                fut.set_exception(RuntimeError("batcher is closed"))
+                return fut
             self._pending.setdefault(bucket, []).append((x, time.time(), fut))
             self._cv.notify()
         return fut
@@ -121,8 +128,9 @@ class _MicroBatcher:
             futs = [f for _, _, f in batch]
             try:
                 outs = self._run_batch(xs)
-                self.batched_runs += 1
-                self.max_batch_seen = max(self.max_batch_seen, len(xs))
+                with self._lock:
+                    self.batched_runs += 1
+                    self.max_batch_seen = max(self.max_batch_seen, len(xs))
                 for f, o in zip(futs, outs):
                     f.set_result(o)
             except BaseException as e:
@@ -435,7 +443,10 @@ def _make_handler(service: EnhanceService):
                     # probe path existence. Token-less servers may still
                     # reload their configured checkpoint (no path choice).
                     token = cfg.serve_reload_token
-                    if not token or self.headers.get("X-Reload-Token") != token:
+                    supplied = self.headers.get("X-Reload-Token", "")
+                    # compare_digest: constant-time — `!=` would leak token
+                    # contents via timing on a reachable port.
+                    if not token or not hmac.compare_digest(supplied, token):
                         self._json(403, {
                             "error": "reload with an explicit checkpoint path "
                                      "requires a matching X-Reload-Token "

@@ -536,8 +536,18 @@ class Trainer:
             from sshslie_tpu.data.native_sampler import make_sampler
 
             sampler = make_sampler(
-                train_store, cfg.batch_size, cfg.patch_size, seed=cfg.seed_value
+                train_store, cfg.batch_size, cfg.patch_size,
+                seed=cfg.seed_value, mode=cfg.sampler,
             )
+            # The three pipelines draw from different RNG streams (PARITY
+            # #17); log the resolved choice so a run is reproducible from
+            # its console log alone.
+            print(f"Patch sampler: {type(sampler).__name__} "
+                  f"(sampler={cfg.sampler!r}, rng="
+                  f"{'xoshiro256**' if type(sampler).__name__ == 'NativePatchSampler' else 'numpy PCG64'})")
+        else:
+            print(f"Patch sampler: fused on-device pipeline "
+                  f"(fused_pipeline={cfg.fused_pipeline!r}, rng=threefry)")
         num_batches = len(train_store) // cfg.batch_size
         base_key = jax.random.PRNGKey(cfg.seed_value)
         sharding = None
@@ -588,7 +598,14 @@ class Trainer:
             remaining = []
             for ep, fut in pending_evals:
                 if block or fut.done():
-                    _record_eval(ep, fut.result())
+                    try:
+                        _record_eval(ep, fut.result())
+                    except Exception as e:  # noqa: BLE001
+                        # Graceful continuation: a failed eval is reported,
+                        # never raised — it must not kill training nor mask a
+                        # training exception when draining from the finally.
+                        print(f"async eval for epoch {ep} failed: "
+                              f"{type(e).__name__}: {e}")
                 else:
                     remaining.append((ep, fut))
             pending_evals[:] = remaining
@@ -807,10 +824,18 @@ class Trainer:
             # exception must not leave the process uninterruptible.
             for sig, handler in prev_handlers.items():
                 signal.signal(sig, handler)
+            # Drain async evals here (not after the try): if training raised,
+            # pending futures would otherwise be dropped silently and the
+            # non-daemon worker thread would delay process exit. An eval
+            # failure is reported, never raised — it must not mask a training
+            # exception, and a completed run must not die on a failed eval
+            # (same graceful-continuation policy as the sync path).
+            if eval_pool is not None:
+                try:
+                    _drain_evals(block=True)
+                finally:
+                    eval_pool.shutdown(wait=True)
 
-        if eval_pool is not None:
-            _drain_evals(block=True)
-            eval_pool.shutdown(wait=True)
         if self.mlflow:
             self.mlflow.log_param(
                 "model_path", os.path.normpath(checkpoints.latest_path(ckpt_dir))

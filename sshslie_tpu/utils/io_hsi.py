@@ -57,8 +57,14 @@ def _save_mat_v73(out: str, data: np.ndarray, key: str) -> None:
         dset = fh.create_dataset(
             key, data=data.transpose(tuple(reversed(range(data.ndim))))
         )
-        kind = {"f": "double" if data.dtype.itemsize == 8 else "single",
-                "i": "int32", "u": "uint16"}.get(data.dtype.kind, "double")
+        # Derive the MATLAB class from the full dtype — width matters
+        # (uint8 vs uint16 vs uint64 are distinct MATLAB classes).
+        if data.dtype.kind == "f":
+            kind = "double" if data.dtype.itemsize == 8 else "single"
+        elif data.dtype.kind in ("i", "u"):
+            kind = f"{'u' if data.dtype.kind == 'u' else ''}int{data.dtype.itemsize * 8}"
+        else:
+            kind = "double"
         dset.attrs["MATLAB_class"] = np.bytes_(kind)
     # MATLAB MAT-file header: descriptive text, then version 0x0200 + 'IM'
     # endian marker at bytes 124-127 (what scipy sniffs to report v7.3).

@@ -198,6 +198,17 @@ class TestMicroBatching:
         with pytest.raises(ValueError):
             batched_service.enhance(np.zeros((8, 8, CHANNELS + 2), np.float32))
 
+    def test_batcher_submit_after_close_fails_fast(self):
+        from sshslie_tpu.serve import _MicroBatcher
+
+        b = _MicroBatcher(lambda xs: xs, max_batch=2, window_ms=1.0)
+        b.close()
+        fut = b.submit((8, 8), np.zeros((8, 8, 1), np.float32))
+        # Must not hang: the loop thread has exited, so the future must
+        # already carry the failure.
+        with pytest.raises(RuntimeError, match="closed"):
+            fut.result(timeout=1)
+
 
 def test_reload_hot_swaps_params(tmp_path):
     """service.reload swaps params in place: same buckets, new weights.
