@@ -41,7 +41,12 @@ def torch_state_dict_to_flax(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     Accepts numpy arrays or torch tensors as values. Raises KeyError with the
     missing name if the state_dict does not look like the reference model.
     """
-    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+    # Copy out of torch storage: .numpy() returns a VIEW of the live
+    # parameter buffer, and jnp.asarray on the CPU backend zero-copy aliases
+    # contiguous numpy arrays — without the copy, a torch optimizer stepping
+    # the source model would silently mutate the converted params.
+    sd = {k: (v.detach().cpu().numpy().copy() if hasattr(v, "detach")
+              else np.array(v, copy=True))
           for k, v in state_dict.items()}
 
     def conv(prefix: str) -> Dict[str, np.ndarray]:
