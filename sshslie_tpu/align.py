@@ -6,10 +6,11 @@ Per low/GT cube pair matched by basename:
      misregistration.m:176-198);
   2. estimate the global translation by FFT phase correlation with subpixel
      refinement (replaces imregcorr, misregistration.m:105-107);
-  3. warp the low projection and measure residual misalignment with an
-     edge-distance proxy (Sobel edges + Euclidean distance transform,
-     replacing the Canny/bwdist proxy of misregistration.m:219-228 — the
-     optical-flow branch needs MATLAB CVT and falls back to the same proxy);
+  3. warp the low projection and measure residual misalignment with dense
+     pyramidal Lucas-Kanade optical flow (replacing opticalFlowLK,
+     misregistration.m:211-222), falling back to an edge-distance proxy
+     (Sobel edges + Euclidean distance transform, replacing the Canny/bwdist
+     proxy of misregistration.m:228-235) when the flow field is degenerate;
   4. flag pairs over the shift/flow thresholds; write a CSV report sorted by
      severity, flagged-pair preview PNGs, and optionally the aligned low cube
      with the same shift applied to every band (misregistration.m:118-133).
@@ -130,6 +131,97 @@ def edge_misalign_proxy(warped: np.ndarray, fixed: np.ndarray) -> Tuple[float, f
 
 
 # ---------------------------------------------------------------------------
+# residual motion: dense pyramidal Lucas-Kanade (misregistration.m:211-222)
+# ---------------------------------------------------------------------------
+
+def _lk_level(ref: np.ndarray, mov: np.ndarray, win: int, noise: float):
+    """One dense LK solve: per-pixel 2×2 structure-tensor system, gated by
+    the smaller eigenvalue (MATLAB opticalFlowLK's NoiseThreshold)."""
+    ix = ndi.sobel(ref, axis=1) / 8.0
+    iy = ndi.sobel(ref, axis=0) / 8.0
+    it = mov - ref
+
+    def w(a):
+        return ndi.uniform_filter(a, win)
+
+    sxx, syy, sxy = w(ix * ix), w(iy * iy), w(ix * iy)
+    sxt, syt = w(ix * it), w(iy * it)
+    det = sxx * syy - sxy * sxy
+    tr = sxx + syy
+    eigmin = 0.5 * (tr - np.sqrt(np.maximum(tr * tr - 4.0 * det, 0.0)))
+    ok = eigmin > noise
+    det_safe = np.where(ok & (np.abs(det) > 1e-12), det, 1.0)
+    vx = np.where(ok, (sxy * syt - syy * sxt) / det_safe, 0.0)
+    vy = np.where(ok, (sxy * sxt - sxx * syt) / det_safe, 0.0)
+    return vy, vx, ok
+
+
+def lucas_kanade_flow(
+    ref: np.ndarray,
+    mov: np.ndarray,
+    levels: int = 3,
+    win: int = 9,
+    noise_thresh: float = 1e-4,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Dense flow ref→mov: (Vy, Vx, valid_mask), coarse-to-fine.
+
+    Equivalent of the reference's opticalFlowLK branch
+    (misregistration.m:213-218, incl. the imgaussfilt(0.8) prefilter); the
+    pyramid extends single-level LK beyond its ~1 px displacement range so
+    residual motion after the global shift is still measurable.
+    """
+    ref = _rescale01(ndi.gaussian_filter(np.asarray(ref, np.float64), 0.8))
+    mov = _rescale01(ndi.gaussian_filter(np.asarray(mov, np.float64), 0.8))
+    pyr_r, pyr_m = [ref], [mov]
+    for _ in range(levels - 1):
+        if min(pyr_r[-1].shape) < 4 * win:
+            break
+        pyr_r.append(ndi.zoom(pyr_r[-1], 0.5, order=1))
+        pyr_m.append(ndi.zoom(pyr_m[-1], 0.5, order=1))
+
+    vy = np.zeros_like(pyr_r[-1])
+    vx = np.zeros_like(pyr_r[-1])
+    ok = np.ones(pyr_r[-1].shape, bool)
+    for lvl in range(len(pyr_r) - 1, -1, -1):
+        r, m = pyr_r[lvl], pyr_m[lvl]
+        if vy.shape != r.shape:
+            scale_y = r.shape[0] / vy.shape[0]
+            scale_x = r.shape[1] / vy.shape[1]
+            vy = ndi.zoom(vy, (scale_y, scale_x), order=1) * scale_y
+            vx = ndi.zoom(vx, (scale_y, scale_x), order=1) * scale_x
+        # Warp mov back by the current estimate, then solve for the update.
+        yy, xx = np.meshgrid(
+            np.arange(r.shape[0], dtype=np.float64),
+            np.arange(r.shape[1], dtype=np.float64),
+            indexing="ij",
+        )
+        m_w = ndi.map_coordinates(m, [yy + vy, xx + vx], order=1, mode="nearest")
+        dvy, dvx, ok = _lk_level(r, m_w, win, noise_thresh)
+        vy = vy + dvy
+        vx = vx + dvx
+    return vy, vx, ok
+
+
+def residual_motion(
+    warped: np.ndarray, fixed: np.ndarray, method: str = "lk"
+) -> Tuple[float, float]:
+    """Mean / p95 residual-motion magnitude after the global alignment.
+
+    ``lk``: flow magnitudes over reliable pixels (misregistration.m:216-218's
+    mean/prctile-95 over |flow|), falling back to the edge proxy when fewer
+    than 1% of pixels pass the noise gate (the reference's catch branch,
+    misregistration.m:219-222). ``proxy``: edge distances directly.
+    """
+    if method == "proxy":
+        return edge_misalign_proxy(warped, fixed)
+    vy, vx, ok = lucas_kanade_flow(fixed, warped)
+    if ok.mean() < 0.01:
+        return edge_misalign_proxy(warped, fixed)
+    mag = np.hypot(vy, vx)[ok]
+    return float(np.mean(mag)), float(np.percentile(mag, 95))
+
+
+# ---------------------------------------------------------------------------
 # batch checker
 # ---------------------------------------------------------------------------
 
@@ -152,6 +244,7 @@ class AlignOptions:
     band_for_vis: int = 0
     shift_thresh: float = 1.0
     flow_thresh: float = 0.8
+    flow_method: str = "lk"             # 'lk' (opticalFlowLK equiv.) | 'proxy'
     save_aligned_dir: str = ""          # '' to skip saving aligned cubes
     max_previews: int = 30
     mat_key: str = "data"
@@ -220,7 +313,9 @@ def check_misregistration_hsi(
             dy, dx = phase_correlation_shift(low_proj, gt_proj)
             shift_px = float(np.hypot(dx, dy))
             warped = warp_translate(low_proj, dy, dx)
-            mean_flow, p95_flow = edge_misalign_proxy(warped, gt_proj)
+            mean_flow, p95_flow = residual_motion(
+                warped, gt_proj, method=opts.flow_method
+            )
             flag = (shift_px > opts.shift_thresh) or (mean_flow > opts.flow_thresh)
 
             res.dx, res.dy, res.shift_px = float(dx), float(dy), shift_px

@@ -12,8 +12,10 @@ from sshslie_tpu.align import (
     AlignOptions,
     check_misregistration_hsi,
     edge_misalign_proxy,
+    lucas_kanade_flow,
     phase_correlation_shift,
     project_2d,
+    residual_motion,
     warp_translate,
 )
 
@@ -64,6 +66,49 @@ def test_edge_proxy_orders_misalignment(rng):
     m_near, _ = edge_misalign_proxy(near, fixed)
     m_far, _ = edge_misalign_proxy(far, fixed)
     assert m_far > m_near
+
+
+def test_lk_flow_recovers_subpixel_shift(rng):
+    """Pure-translation warp of known magnitude: LK's mean flow magnitude
+    over reliable pixels lands near the true shift (misregistration.m:211-218
+    equivalent)."""
+    import scipy.ndimage as ndi
+
+    fixed = _scene(rng, 96, 96)
+    dy, dx = 0.6, -0.4
+    moving = ndi.shift(fixed, (dy, dx), order=3, mode="nearest")
+    vy, vx, ok = lucas_kanade_flow(fixed, moving)
+    assert ok.mean() > 0.02, "noise gate rejected the whole scene"
+    true_mag = np.hypot(dy, dx)
+    got = float(np.mean(np.hypot(vy, vx)[ok]))
+    assert got == pytest.approx(true_mag, rel=0.15), (got, true_mag)
+    # direction too, not just magnitude
+    assert float(np.median(vy[ok])) == pytest.approx(dy, abs=0.15)
+    assert float(np.median(vx[ok])) == pytest.approx(dx, abs=0.15)
+
+
+def test_lk_flow_pyramid_handles_multi_pixel_shift(rng):
+    import scipy.ndimage as ndi
+
+    fixed = _scene(rng, 128, 128)
+    dy, dx = 3.0, -2.0
+    moving = ndi.shift(fixed, (dy, dx), order=3, mode="nearest")
+    _, p95 = residual_motion(moving, fixed, method="lk")
+    # A single-level LK saturates near ~1 px; the pyramid must see most of
+    # the 3.6 px displacement.
+    assert p95 > 2.0, p95
+
+
+def test_residual_motion_orders_misalignment(rng):
+    fixed = _scene(rng)
+    near = np.roll(fixed, (1, 0), axis=(0, 1))
+    far = np.roll(fixed, (4, 4), axis=(0, 1))
+    m_near, _ = residual_motion(near, fixed)
+    m_far, _ = residual_motion(far, fixed)
+    assert m_far > m_near
+    # proxy path still reachable
+    m_proxy, p_proxy = residual_motion(near, fixed, method="proxy")
+    assert np.isfinite(m_proxy) and np.isfinite(p_proxy)
 
 
 def test_batch_checker_end_to_end(tmp_path, rng):
