@@ -155,6 +155,15 @@ def nearest_resize(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     out_h, out_w = size
     if (in_h, in_w) == (out_h, out_w):
         return x
+    if out_h % in_h == 0 and out_w % in_w == 0:
+        # Integer upscale (every use in the nets: ×2 ups, ×2/×4 multi-scale
+        # gather): floor(d·in/out) = d // k, i.e. each source pixel repeats k
+        # times contiguously. repeat lowers to broadcast+reshape whose VJP is
+        # a reshape+sum — measurably cheaper on TPU than the gather form
+        # below, whose VJP is a scatter-add (~0.8 ms/step at b8 p128).
+        return jnp.repeat(
+            jnp.repeat(x, out_h // in_h, axis=1), out_w // in_w, axis=2
+        )
     idx_h = jnp.floor(jnp.arange(out_h) * (in_h / out_h)).astype(jnp.int32)
     idx_w = jnp.floor(jnp.arange(out_w) * (in_w / out_w)).astype(jnp.int32)
     return x[:, idx_h][:, :, idx_w]

@@ -22,9 +22,11 @@ trains with, so we reproduce it verbatim rather than "fixing" it with fftshift.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def _dx(x: jnp.ndarray) -> jnp.ndarray:
@@ -81,13 +83,49 @@ def smooth_loss(I: jnp.ndarray, R: jnp.ndarray, alpha: float = 10.0) -> jnp.ndar
     return jnp.mean(gIx * jnp.exp(-alpha * gRx)) + jnp.mean(gIy * jnp.exp(-alpha * gRy))
 
 
+@functools.lru_cache(maxsize=32)
+def _mask_np(h: int, w: int, cutoff: float) -> "np.ndarray":
+    """Host-side constant: the reference's radial mask (model.py:460-464),
+    built in float32 like torch.linspace. Computed with numpy so it folds
+    into the compiled graph as a constant instead of being re-derived on
+    device every step (measured ~0.5 ms/step as a scalar loop on TPU)."""
+    y = np.linspace(-1.0, 1.0, h, dtype=np.float32)
+    x = np.linspace(-1.0, 1.0, w, dtype=np.float32)
+    Y, X = np.meshgrid(y, x, indexing="ij")
+    radius = np.sqrt(X * X + Y * Y).astype(np.float32)
+    return (radius >= np.float32(cutoff)).astype(np.float32)
+
+
 def fourier_highpass_mask(h: int, w: int, cutoff: float = 0.1) -> jnp.ndarray:
     """The reference's radial mask over the *unshifted* spectrum (model.py:460-464)."""
-    y = jnp.linspace(-1.0, 1.0, h)
-    x = jnp.linspace(-1.0, 1.0, w)
-    Y, X = jnp.meshgrid(y, x, indexing="ij")
-    radius = jnp.sqrt(X**2 + Y**2)
-    return (radius >= cutoff).astype(jnp.float32)
+    return jnp.asarray(_mask_np(h, w, float(cutoff)))
+
+
+@functools.lru_cache(maxsize=32)
+def _halfplane_weights_np(h: int, w: int, cutoff: float) -> "np.ndarray":
+    """Fold the (asymmetric, quirk-reproducing) mask into per-bin weights over
+    the rfft2 half spectrum.
+
+    |F| of a real signal is conjugate-symmetric: |F[i, j]| = |F[-i % h, -j % w]|.
+    A full-grid masked sum therefore equals a half-grid sum where each kept
+    bin carries its own mask value plus — for columns whose partner column
+    (w - j) is NOT kept — the partner bin's mask value. Columns j = 0 and
+    (even w) j = w/2 are their own partners: every row of them is already in
+    the half grid, so they carry only their own mask. The mask itself is NOT
+    conjugate-symmetric (linspace(-1, 1) on the unshifted spectrum — the
+    reference quirk, PARITY #11), which is exactly why it must be folded into
+    weights rather than applied to the half spectrum directly.
+    """
+    mask = _mask_np(h, w, cutoff)
+    wh = w // 2 + 1
+    weights = mask[:, :wh].copy()
+    conj_rows = (h - np.arange(h)) % h
+    for j in range(1, wh):
+        pj = w - j
+        if pj == j or pj >= w:  # self-paired column (even w, j = w/2)
+            continue
+        weights[:, j] += mask[conj_rows, pj]
+    return weights
 
 
 def fourier_spectrum_loss(
@@ -98,16 +136,22 @@ def fourier_spectrum_loss(
 ) -> jnp.ndarray:
     """L1/L2 between masked FFT magnitudes of the cubes (model.py:456-473).
 
-    NHWC: fft2 over the spatial axes (1, 2), mask broadcast over batch/bands.
+    Numerically identical to the reference's full fft2 formulation, computed
+    on the rfft2 half spectrum (real input ⇒ conjugate symmetry) with the
+    mask folded into half-plane weights — half the FFT work and half the
+    magnitude traffic. NHWC: transform over spatial axes (1, 2).
     """
     h, w = input_hsi.shape[1], input_hsi.shape[2]
-    mask = fourier_highpass_mask(h, w, cutoff)[None, :, :, None]
-    # |F·mask| == |F|·mask for a 0/1 mask; taking abs first keeps it real.
-    abs_input = jnp.abs(jnp.fft.fft2(input_hsi, axes=(1, 2))) * mask
-    abs_target = jnp.abs(jnp.fft.fft2(target_hsi, axes=(1, 2))) * mask
+    weights = jnp.asarray(_halfplane_weights_np(h, w, float(cutoff)))[
+        None, :, :, None
+    ]
+    abs_input = jnp.abs(jnp.fft.rfft2(input_hsi, axes=(1, 2)))
+    abs_target = jnp.abs(jnp.fft.rfft2(target_hsi, axes=(1, 2)))
+    diff = abs_input - abs_target
+    denom = input_hsi.shape[0] * h * w * input_hsi.shape[3]
     if loss_type == "l1":
-        return jnp.mean(jnp.abs(abs_input - abs_target))
-    return jnp.mean((abs_input - abs_target) ** 2)
+        return jnp.sum(weights * jnp.abs(diff)) / denom
+    return jnp.sum(weights * diff * diff) / denom
 
 
 def spectral_smoothness_loss(hsi: jnp.ndarray, loss_type: str = "l1") -> jnp.ndarray:
