@@ -92,18 +92,18 @@ def measure(batch: int, patch: int, channels: int, steps: int, warmup: int,
     lr = jnp.float32(1e-3)
     flops = _step_flops(step, state, batch_x, lr)
 
-    def timed_chain(state, n, fetch_every=10):
-        """Dispatch n chained steps, forcing a real device→host scalar fetch
-        every ``fetch_every`` steps (bounds in-flight work on queued
-        transports) and at the end. On some transports block_until_ready is
-        not a true sync; float() is."""
+    def timed_chain(state, n):
+        """Dispatch n chained steps with ONE device→host scalar fetch at the
+        end. On some transports block_until_ready is not a true sync; float()
+        is. The end fetch's relay round-trip is constant per chain, so the
+        two-chain marginal below cancels it exactly — fetching *inside* the
+        chain (as this harness once did every 10 steps) leaks ~0.6 ms of
+        relay latency per step into the marginal and understated the r1
+        numbers by ~20%."""
         t0 = time.perf_counter()
         terms = None
-        loss = 0.0
-        for i in range(n):
+        for _ in range(n):
             state, terms = step(state, batch_x, lr)
-            if (i + 1) % fetch_every == 0:
-                loss = float(terms["total_loss"])
         loss = float(terms["total_loss"])
         return time.perf_counter() - t0, state, loss
 
