@@ -141,6 +141,9 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--precision", default="float32")
+    ap.add_argument("--matmul_precision", default="",
+                    help="jax_default_matmul_precision ('' = backend default: "
+                         "bf16 MXU passes; 'float32' forces full precision)")
     ap.add_argument("--attention_impl", default="auto")
     ap.add_argument("--no-best", action="store_true",
                     help="skip the second, throughput-optimal (b8/bf16) run")
@@ -148,6 +151,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.matmul_precision:
+        jax.config.update("jax_default_matmul_precision", args.matmul_precision)
 
     # Persistent compile cache (same policy as main.py): repeat bench runs
     # skip the 20-40 s first compile.
@@ -177,6 +183,8 @@ def main(argv=None):
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }
+    if args.matmul_precision:
+        result["matmul_precision"] = args.matmul_precision
     for k in ("flops_per_step", "tflops_eff", "mfu_pct", "peak_tflops_bf16"):
         if k in ref:
             result[k] = ref[k]

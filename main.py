@@ -117,6 +117,12 @@ def main(cfg: Config) -> None:
             # Must happen before any backend use. The env var alone is not
             # enough under launchers that import jax at interpreter start.
             jax.config.update("jax_platforms", cfg.device)
+        if cfg.matmul_precision:
+            # TPU matmuls/convs on float32 inputs run bf16 MXU passes by
+            # default (XLA bf16 propagation) — the same class of silent
+            # downcast as the reference's cuDNN TF32 default. 'float32' /
+            # 'highest' forces full-precision passes at ~3x conv cost.
+            jax.config.update("jax_default_matmul_precision", cfg.matmul_precision)
         # On by default — kills the 20-40 s first-compile on repeat runs.
         from sshslie_tpu.utils.jit_cache import enable as enable_jit_cache
 

@@ -94,6 +94,7 @@ class Config:
     test_timestamp: str = ""              # timestamp of the checkpoint to test (replaces main.py:80)
     mat_key_prediction: str = "data"      # key used when reading predictions back for metrics
     precision: str = "float32"            # 'float32' | 'bfloat16' compute dtype for the nets
+    matmul_precision: str = ""            # '' = backend default (bf16 MXU passes on TPU) | 'tensorfloat32' | 'float32'/'highest'
     attention_impl: str = "auto"          # 'auto' | 'xla' | 'pallas' | 'chunked'
     use_attention: bool = False           # SEBlock variant (reference model.py:122,130-131)
     use_transformer: bool = True          # TransformerBlock variant (reference default)

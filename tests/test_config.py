@@ -117,3 +117,14 @@ def test_resume_autodiscovers_latest_run(tmp_path, monkeypatch):
     # no checkpoints at all → fresh run (timestamp generated)
     cfg3 = Config(model_name="nope", resume=True).finalize()
     assert cfg3.timestamp not in ("", None)
+
+
+def test_matmul_precision_key(tmp_path):
+    """PARITY #20: the TPU bf16-MXU default gets an explicit opt-out knob."""
+    import yaml
+
+    p = tmp_path / "c.yml"
+    yaml.safe_dump({"matmul_precision": "float32"}, open(p, "w"))
+    cfg = load_config(str(p))
+    assert cfg.matmul_precision == "float32"
+    assert Config().matmul_precision == ""
