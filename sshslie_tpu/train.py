@@ -175,6 +175,83 @@ def make_train_step(
     )
 
 
+def make_accum_train_step(
+    model: LowLightEnhanceNet,
+    tx: optax.GradientTransformation,
+    coeffs: Dict[str, float],
+    accum_steps: int,
+    freeze_decom: bool = False,
+    mesh=None,
+    data_axis: str = "data",
+    space_axis: str = "",
+):
+    """Gradient-accumulation step: (state, batch, lr) → (state, terms).
+
+    The (B, P, P, C) batch is split into ``accum_steps`` microbatches that
+    run sequentially under ``lax.scan`` — peak activation memory drops by
+    ~accum_steps× while the update stays EXACTLY the full-batch update
+    (modulo float reassociation): every loss term is a mean over batch
+    elements, so the mean of microbatch gradients equals the full-batch
+    gradient. Net-new over the reference (no counterpart to cite); enables
+    large patch×band workloads (e.g. 224-band 256² patches) on one chip.
+    """
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+
+    def loss_fn(params, batch):
+        R_low, I_low, I_delta, S, R_enh = model.apply(
+            {"params": params}, batch, method=LowLightEnhanceNet.forward_with_redecomposition
+        )
+        return total_loss(batch, R_low, I_low, I_delta, S, R_enh, coeffs)
+
+    def step_fn(state: TrainState, batch: jnp.ndarray, lr: jnp.ndarray):
+        b = batch.shape[0]
+        if b % accum_steps != 0:
+            raise ValueError(
+                f"batch {b} not divisible by grad_accum_steps {accum_steps}"
+            )
+        micro = batch.reshape(accum_steps, b // accum_steps, *batch.shape[1:])
+
+        def body(carry, mb):
+            g_sum, t_sum = carry
+            (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, mb
+            )
+            return (
+                jax.tree.map(jnp.add, g_sum, grads),
+                jax.tree.map(jnp.add, t_sum, terms),
+            ), None
+
+        zeros_g = jax.tree.map(jnp.zeros_like, state.params)
+        zeros_t = {k: jnp.zeros((), jnp.float32) for k in LOSS_KEYS}
+        (g_sum, t_sum), _ = jax.lax.scan(body, (zeros_g, zeros_t), micro)
+        inv = jnp.float32(1.0 / accum_steps)
+        grads = jax.tree.map(lambda g: g * inv, g_sum)
+        terms = jax.tree.map(lambda t: t * inv, t_sum)
+        if freeze_decom:
+            grads = _zero_decom_grads(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p - lr * u, state.params, updates)
+        return TrainState(params=params, opt_state=opt_state, step=state.step + 1), terms
+
+    donate = (0,)
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=donate)
+    replicated = replicated_sharding(mesh)
+    if space_axis:
+        from sshslie_tpu.parallel.mesh import batch_space_sharding
+
+        batched = batch_space_sharding(mesh, data_axis, space_axis)
+    else:
+        batched = batch_sharding(mesh, data_axis)
+    return jax.jit(
+        step_fn,
+        donate_argnums=donate,
+        in_shardings=(replicated, batched, replicated),
+        out_shardings=(replicated, replicated),
+    )
+
+
 def make_fused_train_step(
     model: LowLightEnhanceNet,
     tx: optax.GradientTransformation,
@@ -437,6 +514,17 @@ class Trainer:
             )
         return self._steps[freeze]
 
+    def _accum_step_for(self, freeze: bool):
+        key = ("accum", freeze)
+        if key not in self._steps:
+            self._steps[key] = make_accum_train_step(
+                self.model, self.tx, self.coeffs,
+                accum_steps=self.cfg.grad_accum_steps,
+                freeze_decom=freeze, mesh=self.mesh, data_axis=self.cfg.data_axis,
+                space_axis=self.cfg.space_axis,
+            )
+        return self._steps[key]
+
     def _fused_step_for(self, freeze: bool):
         key = ("fused", freeze)
         if key not in self._steps:
@@ -512,7 +600,12 @@ class Trainer:
         # shares one shape (fused_pipeline 'auto'/'on'), else the host-side
         # native/Python sampler with threaded prefetch.
         fused_cubes = None
-        if cfg.fused_pipeline in ("auto", "on"):
+        if cfg.grad_accum_steps > 1 and cfg.fused_pipeline == "on":
+            raise ValueError(
+                "grad_accum_steps > 1 requires the host pipeline; set "
+                "fused_pipeline to 'auto' or 'off'"
+            )
+        if cfg.grad_accum_steps <= 1 and cfg.fused_pipeline in ("auto", "on"):
             fused_cubes = stack_cubes(train_store)
             if fused_cubes is None and cfg.fused_pipeline == "on":
                 raise ValueError(
@@ -725,7 +818,8 @@ class Trainer:
                                 f"Loss: {float(terms['total_loss']):.6f}"
                             )
                 else:
-                    step = self._step_for(freeze)
+                    step = (self._accum_step_for(freeze)
+                            if cfg.grad_accum_steps > 1 else self._step_for(freeze))
                     proc_slice = None
                     if self.mesh is not None and jax.process_count() > 1:
                         from sshslie_tpu.parallel.distributed import process_batch_slice

@@ -345,3 +345,77 @@ def test_sigterm_checkpoints_and_stops(tmp_path, rng):
         assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
     finally:
         os.chdir(cwd)
+
+
+def test_grad_accum_matches_full_batch(setup, rng):
+    """make_accum_train_step is the EXACT full-batch update (every loss term
+    is a per-sample mean, so averaging microbatch grads == full-batch grad),
+    up to float reassociation."""
+    from sshslie_tpu.train import make_accum_train_step
+
+    cfg, model, tx, new_state, step = setup
+    batch = jnp.asarray(rng.rand(4, 16, 16, 6).astype(np.float32))
+    astep = make_accum_train_step(model, tx, loss_coeffs(cfg), accum_steps=2)
+
+    s_full, t_full = step(new_state(), batch, jnp.float32(1e-3))
+    s_acc, t_acc = astep(new_state(), batch, jnp.float32(1e-3))
+    assert float(t_acc["total_loss"]) == pytest.approx(
+        float(t_full["total_loss"]), rel=1e-6
+    )
+    # atol 2e-5: Adam's rsqrt normalization amplifies reassociation-level
+    # gradient differences on near-zero second moments (same effect as the
+    # dp×sp parity test).
+    for a, b in zip(jax.tree.leaves(s_full.params), jax.tree.leaves(s_acc.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2e-5)
+
+
+def test_grad_accum_divisibility_error(setup):
+    from sshslie_tpu.train import make_accum_train_step
+
+    cfg, model, tx, new_state, _ = setup
+    astep = make_accum_train_step(model, tx, loss_coeffs(cfg), accum_steps=3)
+    with pytest.raises(ValueError, match="divisible"):
+        astep(new_state(), jnp.zeros((4, 16, 16, 6), jnp.float32),
+              jnp.float32(1e-3))
+    with pytest.raises(ValueError, match="accum_steps"):
+        make_accum_train_step(model, tx, loss_coeffs(cfg), accum_steps=0)
+
+
+def test_trainer_grad_accum_e2e(tmp_path, rng):
+    """Trainer.fit with grad_accum_steps=2 tracks the accum=1 run of the
+    same config+seed (identical sampling stream, host pipeline)."""
+    import scipy.io as sio
+
+    d = tmp_path / "cubes"
+    d.mkdir()
+    for i in range(4):
+        sio.savemat(str(d / f"c{i}.mat"),
+                    {"data": (rng.rand(32, 32, 6) * 100).astype(np.float32)})
+    from sshslie_tpu.data.datasets import CubeStore
+
+    losses = {}
+    for accum in (1, 2):
+        cfg = _tiny_cfg(batch_size=4, epoch=2, fused_pipeline="off",
+                        sampler="python", grad_accum_steps=accum)
+        trainer = Trainer(cfg, channels=6)
+        trainer.fit(CubeStore(str(d), normalization="self"),
+                    ckpt_dir=str(tmp_path / f"ck{accum}"))
+        losses[accum] = trainer.all_epoch_losses["total_loss"]
+    np.testing.assert_allclose(losses[1], losses[2], rtol=1e-4)
+
+
+def test_trainer_grad_accum_rejects_forced_fused(tmp_path, rng):
+    import scipy.io as sio
+
+    d = tmp_path / "cubes"
+    d.mkdir()
+    sio.savemat(str(d / "c0.mat"),
+                {"data": (rng.rand(32, 32, 6) * 100).astype(np.float32)})
+    from sshslie_tpu.data.datasets import CubeStore
+
+    cfg = _tiny_cfg(batch_size=1, epoch=1, fused_pipeline="on", grad_accum_steps=2)
+    trainer = Trainer(cfg, channels=6)
+    with pytest.raises(ValueError, match="host pipeline"):
+        trainer.fit(CubeStore(str(d), normalization="self"),
+                    ckpt_dir=str(tmp_path / "ck"))
