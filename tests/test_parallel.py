@@ -270,3 +270,33 @@ def test_elastic_remesh_resume(tmp_path, rng):
     for a, b in zip(jax.tree.leaves(ref.params), jax.tree.leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=2e-5)
+
+
+def test_grad_accum_step_on_mesh(rng):
+    """make_accum_train_step compiles + executes under dp and dp×sp meshes
+    (the scan's microbatch reshape splits the sharded batch dim; GSPMD keeps
+    the partitioning)."""
+    from sshslie_tpu.parallel.mesh import batch_space_sharding
+    from sshslie_tpu.train import make_accum_train_step
+
+    cfg = Config(channels=4, patch_size=32, batch_size=8, attention_impl="xla")
+    model = build_model(cfg, 4)
+    tx = make_optimizer()
+    coeffs = loss_coeffs(cfg)
+    batch_np = rng.rand(8, 32, 32, 4).astype(np.float32)
+    losses = []
+    for shape, space in (("8", ""), ("2x4", "space")):
+        mesh = make_mesh(shape)
+        p = init_params(model, 0, 32)
+        st = jax.device_put(
+            TrainState(params=p, opt_state=tx.init(p), step=jnp.zeros((), jnp.int32)),
+            replicated_sharding(mesh),
+        )
+        shard = (batch_space_sharding(mesh) if space
+                 else batch_sharding(mesh))
+        batch = jax.device_put(jnp.asarray(batch_np), shard)
+        step = make_accum_train_step(model, tx, coeffs, accum_steps=2,
+                                     mesh=mesh, space_axis=space)
+        st, terms = step(st, batch, jnp.float32(1e-3))
+        losses.append(float(terms["total_loss"]))
+    assert losses[0] == pytest.approx(losses[1], rel=1e-5)
