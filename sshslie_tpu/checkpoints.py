@@ -50,14 +50,33 @@ def save_checkpoint(path: str, params: Any, opt_state: Any, epoch: int) -> str:
     return path
 
 
+def _restore_blob(path: str) -> Any:
+    """msgpack-restore with an actionable error on torn/corrupt files."""
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    try:
+        return serialization.msgpack_restore(blob)
+    except Exception as e:  # msgpack raises several exception types
+        raise ValueError(
+            f"{path} is not a readable checkpoint ({type(e).__name__}: {e}). "
+            "The file may be torn or from another tool; writes are atomic, so "
+            "a periodic model_epoch_N.ckpt from the same run should be intact."
+        ) from e
+
+
 def load_checkpoint(
     path: str, params_template: Any, opt_state_template: Any
 ) -> Tuple[Any, Any, int]:
     """Restore (params, opt_state, epoch) onto the given templates."""
     if not path.endswith(CKPT_SUFFIX) and os.path.exists(path + CKPT_SUFFIX):
         path += CKPT_SUFFIX
-    with open(path, "rb") as fh:
-        raw = serialization.msgpack_restore(fh.read())
+    raw = _restore_blob(path)
+    if not isinstance(raw, dict) or "params" not in raw:
+        raise ValueError(
+            f"{path} restored but holds no 'params' — not a training "
+            "checkpoint (keys: "
+            f"{sorted(raw) if isinstance(raw, dict) else type(raw).__name__})"
+        )
     params = serialization.from_state_dict(params_template, raw["params"])
     opt_state = serialization.from_state_dict(opt_state_template, raw["opt_state"])
     epoch = int(np.asarray(raw["epoch"]))
@@ -70,8 +89,7 @@ def load_pretrained_params(path: str, params_template: Any) -> Tuple[Any, Option
     (reference main.py:200-205). Returns (params, epoch-or-None)."""
     if not path.endswith(CKPT_SUFFIX) and os.path.exists(path + CKPT_SUFFIX):
         path += CKPT_SUFFIX
-    with open(path, "rb") as fh:
-        raw = serialization.msgpack_restore(fh.read())
+    raw = _restore_blob(path)
     if isinstance(raw, dict) and "params" in raw:
         params = serialization.from_state_dict(params_template, raw["params"])
         epoch = int(np.asarray(raw["epoch"])) if "epoch" in raw else None

@@ -1,0 +1,93 @@
+"""Fault handling: torn/corrupt/foreign files must fail with actionable
+errors, and atomic writes must never leave a torn 'latest'.
+
+The reference has no failure story beyond a catch-all traceback
+(main.py:266-276); these pin the framework's own guarantees.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sshslie_tpu import checkpoints
+
+
+@pytest.fixture
+def tree():
+    return {"w": jnp.ones((3, 3)), "b": jnp.zeros((3,))}
+
+
+def test_corrupt_checkpoint_names_path(tmp_path, tree):
+    p = tmp_path / "model_epoch_latest.ckpt"
+    p.write_bytes(b"\x00garbage not msgpack" * 7)
+    with pytest.raises(ValueError, match="not a readable checkpoint"):
+        checkpoints.load_checkpoint(str(p), tree, tree)
+    with pytest.raises(ValueError, match="not a readable checkpoint"):
+        checkpoints.load_pretrained_params(str(p), tree)
+
+
+def test_wrong_payload_checkpoint(tmp_path, tree):
+    """A valid msgpack file that is not a training checkpoint."""
+    from flax import serialization
+
+    p = tmp_path / "foreign.ckpt"
+    p.write_bytes(serialization.msgpack_serialize({"weights": np.ones(3)}))
+    with pytest.raises(ValueError, match="no 'params'"):
+        checkpoints.load_checkpoint(str(p), tree, tree)
+
+
+def test_atomic_write_leaves_no_torn_latest(tmp_path, tree, monkeypatch):
+    """A crash mid-write (simulated by failing the tmp write) must leave the
+    previous 'latest' checkpoint untouched and loadable."""
+    path = str(tmp_path / "model_epoch_latest")
+    checkpoints.save_checkpoint(path, tree, tree, epoch=1)
+
+    real_open = open
+
+    def exploding_open(file, mode="r", *a, **kw):
+        if str(file).endswith(".tmp") and "w" in mode:
+            fh = real_open(file, mode, *a, **kw)
+            fh.write(b"torn")
+            fh.close()
+            raise OSError("disk full (simulated)")
+        return real_open(file, mode, *a, **kw)
+
+    import builtins
+
+    monkeypatch.setattr(builtins, "open", exploding_open)
+    with pytest.raises(OSError, match="disk full"):
+        checkpoints.save_checkpoint(path, tree, tree, epoch=2)
+    monkeypatch.undo()
+
+    params, _, epoch = checkpoints.load_checkpoint(
+        path + checkpoints.CKPT_SUFFIX, tree, tree
+    )
+    assert epoch == 1
+    np.testing.assert_array_equal(np.asarray(params["w"]), np.ones((3, 3)))
+
+
+def test_truncated_mat_raises(tmp_path):
+    import scipy.io as sio
+
+    from sshslie_tpu.utils.io_hsi import load_hsi
+
+    p = tmp_path / "cube.mat"
+    sio.savemat(str(p), {"data": np.ones((4, 4, 2), np.float32)})
+    blob = p.read_bytes()
+    p.write_bytes(blob[: len(blob) // 3])
+    with pytest.raises(Exception):  # scipy raises ValueError/EOFError variants
+        load_hsi(str(p))
+
+
+def test_missing_mat_key_lists_available(tmp_path):
+    import scipy.io as sio
+
+    from sshslie_tpu.utils.io_hsi import load_hsi
+
+    p = tmp_path / "cube.mat"
+    sio.savemat(str(p), {"other": np.ones((4, 4, 2), np.float32)})
+    with pytest.raises(KeyError, match="other"):
+        load_hsi(str(p), mat_key="data")
