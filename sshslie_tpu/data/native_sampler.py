@@ -63,7 +63,12 @@ class NativePatchSampler:
     """
 
     def __init__(self, store: CubeStore, batch_size: int, patch_size: int,
-                 seed: int = 41, num_threads: int = 2):
+                 seed: int = 41, num_threads: Optional[int] = None):
+        if num_threads is None:
+            # One worker per core, capped: on a 1-core host a second thread
+            # measurably HURTS (62 vs 27 ms/batch — pure contention), while
+            # real TPU-VM hosts have dozens of cores to feed from.
+            num_threads = max(1, min(os.cpu_count() or 1, 8, batch_size))
         lib = _load_lib()
         if lib is None:
             raise RuntimeError(
