@@ -633,7 +633,7 @@ class Trainer:
                 seed=cfg.seed_value, mode=cfg.sampler,
             )
             # The three pipelines draw from different RNG streams (PARITY
-            # #17); log the resolved choice so a run is reproducible from
+            # #19); log the resolved choice so a run is reproducible from
             # its console log alone.
             print(f"Patch sampler: {type(sampler).__name__} "
                   f"(sampler={cfg.sampler!r}, rng="
