@@ -175,6 +175,34 @@ _DERIVED_FIELDS = {
     "test_result_dir", "test_model_dir", "log_file_path", "config_path",
 }
 
+# Enum-valued keys checked at load time — a typo'd value should fail at
+# startup naming the choices, not hours later inside Trainer.fit.
+_ENUM_FIELDS: dict[str, tuple] = {
+    "phase": ("train", "test", "train_and_test", "serve"),
+    "normalization": ("self", "global_normalization",
+                      "per_channel_normalization",
+                      "per_channel_standardization", None, ""),
+    "precision": ("float32", "bfloat16"),
+    "matmul_precision": ("", "default", "bfloat16", "bfloat16_3x",
+                         "tensorfloat32", "float32", "highest"),
+    "attention_impl": ("auto", "xla", "pallas", "chunked"),
+    "sampler": ("auto", "native", "python"),
+    "fused_pipeline": ("auto", "on", "off"),
+    "serve_quantize": ("", "int8", "fp8"),
+    "device": ("", "cpu", "tpu", "gpu"),
+}
+
+
+def _validate_enums(cfg: "Config") -> None:
+    for key, choices in _ENUM_FIELDS.items():
+        val = getattr(cfg, key)
+        if val not in choices:
+            shown = [c for c in choices if c not in (None, "")]
+            raise ValueError(
+                f"config key {key!r}: invalid value {val!r} "
+                f"(choices: {', '.join(map(str, shown))})"
+            )
+
 
 def _coerce(value: str, target_type: type) -> Any:
     """Parse a CLI string into the dataclass field's type."""
@@ -215,6 +243,7 @@ def load_config(
         if key not in known:
             raise KeyError(f"Unknown config override: {key!r}")
         setattr(cfg, key, val)
+    _validate_enums(cfg)
     if finalize:
         cfg.finalize()
     return cfg

@@ -128,3 +128,22 @@ def test_matmul_precision_key(tmp_path):
     cfg = load_config(str(p))
     assert cfg.matmul_precision == "float32"
     assert Config().matmul_precision == ""
+
+
+def test_enum_values_validated_at_load(tmp_path):
+    """Typo'd enum values fail at startup naming the choices, not inside fit."""
+    import yaml
+
+    for key, bad in (("sampler", "cuda"), ("phase", "training"),
+                     ("precision", "fp16"), ("fused_pipeline", "yes"),
+                     ("attention_impl", "flash"), ("normalization", "zscore")):
+        p = tmp_path / f"{key}.yml"
+        yaml.safe_dump({key: bad}, open(p, "w"))
+        with pytest.raises(ValueError, match=key):
+            load_config(str(p))
+    # valid values still pass
+    p = tmp_path / "ok.yml"
+    yaml.safe_dump({"sampler": "native", "normalization": None,
+                    "matmul_precision": "float32"}, open(p, "w"))
+    cfg = load_config(str(p))
+    assert cfg.sampler == "native" and cfg.normalization is None
