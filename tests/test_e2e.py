@@ -82,3 +82,28 @@ def test_train_phase_only(workspace):
     entry.main(cfg)
     assert glob.glob("checkpoint/tr/Decomposition_*/model_epoch_latest.ckpt")
     assert not glob.glob("results/test_results_tr_*/*.mat")
+
+
+def test_train_and_test_on_mesh_through_main(workspace):
+    """The full CLI path with mesh_shape: main builds the mesh, Trainer runs
+    the dp-sharded step, eval/test still produce outputs + metrics."""
+    import main as entry
+
+    # dp×sp 2×4 at the reference's batch-2 regime (the workspace has only 2
+    # train cubes, so batch 2 → 1 real step per epoch; batch 8 would round
+    # down to zero batches and silently train nothing).
+    cfg = load_config(_write_cfg(
+        "cfg_mesh.yml", model_name="e2e_mesh", mesh_shape="2x4",
+        space_axis="space", batch_size=2, patch_size=32,
+        grad_accum_steps=2, fused_pipeline="off", sampler="python",
+    ))
+    entry.main(cfg)
+    assert glob.glob("results/test_results_e2e_mesh_*/t0.mat")
+    cks = glob.glob("checkpoint/e2e_mesh/Decomposition_*/model_epoch_latest.ckpt")
+    assert cks
+    log = glob.glob("logs/console_output_e2e_mesh_*.log")[0]
+    text = open(log).read()
+    assert "Patch sampler: PatchSampler" in text
+    # the epochs really stepped (loss printed per epoch, nonzero)
+    assert "Epoch [2/2] Average Loss:" in text
+    assert "Average Loss: 0.000000" not in text
