@@ -247,6 +247,46 @@ def test_training_trajectory_parity(ref_model_cls, rng):
     assert cross > 40.0, f"trained cross-PSNR {cross:.2f} dB"
 
 
+def test_seblock_illum_variant_parity(ref_model_cls, rng):
+    """The SEBlock attention variant (reference model.py:122 use_attention,
+    selectable only by editing the default there; a config key here) must
+    also match numerically under weight transplant — P5's second half."""
+    import model as ref_module  # loaded by the ref_model_cls fixture
+
+    torch.manual_seed(11)
+    C = 8
+    ref_net = ref_module.IllumAdjustmentNet(
+        in_channels=C, channel=16, use_attention=True, use_transformer=False
+    )
+    ref_net.eval()
+
+    from sshslie_tpu.models.illum_adjust import IllumAdjustmentNet
+
+    ours = IllumAdjustmentNet(in_channels=C, channel=16,
+                              use_attention=True, use_transformer=False)
+    # Transplant via the shared conversion helpers on a prefixed state_dict.
+    sd = {f"illum_adjust_net.{k}": v for k, v in ref_net.state_dict().items()}
+    # Fill the decomposition side with a throwaway net so the full mapper runs.
+    full_ref = ref_module.LowLightEnhance(input_channels=C, device=torch.device("cpu"))
+    sd.update({k: v for k, v in full_ref.state_dict().items()
+               if k.startswith("decomposition_net.")})
+    from sshslie_tpu.interop import torch_state_dict_to_flax
+
+    params = jax.tree.map(jnp.asarray,
+                          torch_state_dict_to_flax(sd)["illum_adjust_net"])
+    assert "fc1" in params["attn"], "SEBlock weights must map via interop"
+
+    I = rng.rand(2, 24, 24, 1).astype(np.float32)
+    R = rng.rand(2, 24, 24, C).astype(np.float32)
+    with torch.no_grad():
+        want = ref_net(torch.tensor(I.transpose(0, 3, 1, 2)),
+                       torch.tensor(R.transpose(0, 3, 1, 2)))
+    got = ours.apply({"params": params}, jnp.asarray(I), jnp.asarray(R))
+    np.testing.assert_allclose(
+        np.asarray(got), want.numpy().transpose(0, 2, 3, 1), atol=2e-5
+    )
+
+
 def test_export_roundtrip_and_reference_load(paired_models, tmp_path, rng):
     """Our params → reference .pth → loads into the actual reference model
     and reproduces our forward; and importing the export back is identity."""
