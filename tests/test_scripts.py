@@ -67,3 +67,28 @@ def test_plot_spectra_cli(tmp_path, dataset):
     ])
     written = os.listdir(out)
     assert any(f.endswith(".png") for f in written), written
+
+
+def test_profile_step_cli(tmp_path):
+    """The profiling tool runs on the CPU backend and attributes device time
+    to source lines (the method behind docs/PERFORMANCE.md's step anatomy)."""
+    import scripts.profile_step as ps
+
+    by_src = ps.main([
+        "--batch", "1", "--patch", "16", "--channels", "4",
+        "--precision", "float32", "--steps", "2",
+        "--trace_dir", str(tmp_path / "prof"),
+    ])
+    # The CPU backend emits no per-op HLO events (attribution is TPU-only);
+    # the tool must still run the step, write a trace, and say so. On an
+    # accelerator the result maps conv time to layers.py.
+    import jax
+
+    if jax.default_backend() == "cpu":
+        assert by_src == {}
+    else:  # pragma: no cover - accelerator-only branch
+        assert any("conv" in k for k in by_src)
+    # the HLO source map itself works on every backend
+    assert ps.hlo_source_map('%f.1 = f32[] fusion(), metadata={op_name="a/b" '
+                             'source_file="/x/layers.py" source_line=69}'
+                             ) == {"f.1": "layers.py:69  b"}
