@@ -5,7 +5,11 @@ Each worker joins a 2-process jax.distributed cluster on the CPU backend
 pipeline for 2 epochs over a shared synthetic dataset, and dumps its epoch
 losses as JSON. Not collected by pytest (no test_ prefix).
 
-Usage: python _mp_train_worker.py <coordinator_port> <rank> <world> <data_dir> <out_prefix>
+Usage: python _mp_train_worker.py <port> <rank> <world> <data_dir> <out_prefix> [pipeline]
+
+``pipeline`` is ``host`` (default: per-process batch slices through the
+Prefetcher) or ``fused`` (replicated on-device cube stack via
+jax.make_array_from_process_local_data, sampling inside the jitted step).
 """
 
 import json
@@ -13,6 +17,7 @@ import os
 import sys
 
 port, rank, world, data_dir, out_prefix = sys.argv[1:6]
+pipeline = sys.argv[6] if len(sys.argv) > 6 else "host"
 rank, world = int(rank), int(world)
 
 flags = os.environ.get("XLA_FLAGS", "")
@@ -41,7 +46,8 @@ from sshslie_tpu.train import Trainer  # noqa: E402
 cfg = Config(
     channels=4, patch_size=16, batch_size=8, epoch=2,
     eval_every_epoch=100, plot_every_epoch=100, attention_impl="xla",
-    fused_pipeline="off", sampler="python", mesh_shape="8",
+    fused_pipeline="on" if pipeline == "fused" else "off",
+    sampler="python", mesh_shape="8",
 )
 cfg.finalize()
 store = CubeStore(data_dir, normalization="self")

@@ -43,7 +43,7 @@ def dataset(tmp_path_factory):
     return str(d)
 
 
-def test_two_process_training_matches_single_process(dataset, tmp_path):
+def _run_workers(dataset, out_prefix, pipeline="host"):
     try:
         port = _free_port()
     except OSError as e:  # pragma: no cover - sandboxed CI without sockets
@@ -52,10 +52,10 @@ def test_two_process_training_matches_single_process(dataset, tmp_path):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env.pop("JAX_PLATFORMS", None)
-    out_prefix = str(tmp_path / "mp")
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(port), str(r), "2", dataset, out_prefix],
+            [sys.executable, WORKER, str(port), str(r), "2", dataset,
+             out_prefix, pipeline],
             cwd=ROOT, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
@@ -72,11 +72,34 @@ def test_two_process_training_matches_single_process(dataset, tmp_path):
         outputs.append(out)
     for r, (p, out) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"worker {r} failed:\n{out[-3000:]}"
-
     losses = []
     for r in range(2):
         with open(f"{out_prefix}.{r}.json") as fh:
             losses.append(json.load(fh))
+    return losses
+
+
+def _single_process_reference(dataset, tmp_path, fused: bool):
+    from sshslie_tpu.config import Config
+    from sshslie_tpu.data.datasets import CubeStore
+    from sshslie_tpu.parallel.mesh import make_mesh
+    from sshslie_tpu.train import Trainer
+
+    cfg = Config(
+        channels=4, patch_size=16, batch_size=8, epoch=2,
+        eval_every_epoch=100, plot_every_epoch=100, attention_impl="xla",
+        fused_pipeline="on" if fused else "off", sampler="python",
+        mesh_shape="8",
+    )
+    cfg.finalize()
+    trainer = Trainer(cfg, channels=4, mesh=make_mesh("8"))
+    trainer.fit(CubeStore(dataset, normalization="self"),
+                ckpt_dir=str(tmp_path / f"sp_ck_{fused}"))
+    return trainer.all_epoch_losses["total_loss"]
+
+
+def test_two_process_training_matches_single_process(dataset, tmp_path):
+    losses = _run_workers(dataset, str(tmp_path / "mp"), "host")
     # Both processes observe the same global (psum'd) loss.
     np.testing.assert_allclose(
         losses[0]["total_loss"], losses[1]["total_loss"], rtol=1e-6
@@ -87,21 +110,19 @@ def test_two_process_training_matches_single_process(dataset, tmp_path):
     # And the distributed trajectory equals the single-process 8-device run:
     # same seed → the PCG64 sampler draws the same global batches, the same
     # global mesh partitions the same compute graph.
-    from sshslie_tpu.config import Config
-    from sshslie_tpu.data.datasets import CubeStore
-    from sshslie_tpu.parallel.mesh import make_mesh
-    from sshslie_tpu.train import Trainer
+    want = _single_process_reference(dataset, tmp_path, fused=False)
+    np.testing.assert_allclose(want, losses[0]["total_loss"], rtol=1e-5)
 
-    cfg = Config(
-        channels=4, patch_size=16, batch_size=8, epoch=2,
-        eval_every_epoch=100, plot_every_epoch=100, attention_impl="xla",
-        fused_pipeline="off", sampler="python", mesh_shape="8",
-    )
-    cfg.finalize()
-    trainer = Trainer(cfg, channels=4, mesh=make_mesh("8"))
-    trainer.fit(CubeStore(dataset, normalization="self"),
-                ckpt_dir=str(tmp_path / "sp_ck"))
+
+def test_two_process_fused_pipeline_matches_single_process(dataset, tmp_path):
+    """The fused on-device pipeline across 2 real processes: each host feeds
+    the (identical) cube stack via jax.make_array_from_process_local_data
+    with a replicated spec (train.py multi-host branch), sampling runs inside
+    the jitted step from the shared threefry stream — the trajectory must
+    equal the single-process fused run exactly (same graph, same folds)."""
+    losses = _run_workers(dataset, str(tmp_path / "mpf"), "fused")
     np.testing.assert_allclose(
-        trainer.all_epoch_losses["total_loss"], losses[0]["total_loss"],
-        rtol=1e-5,
+        losses[0]["total_loss"], losses[1]["total_loss"], rtol=1e-6
     )
+    want = _single_process_reference(dataset, tmp_path, fused=True)
+    np.testing.assert_allclose(want, losses[0]["total_loss"], rtol=1e-5)
