@@ -342,3 +342,22 @@ def test_quantized_serving_rejects_mesh():
                  serve_quantize="int8").finalize()
     with pytest.raises(ValueError, match="single-chip"):
         EnhanceService(cfg, CHANNELS, mesh=make_mesh("8"))
+
+
+def test_mesh_serving_matches_single_device():
+    """EnhanceService over an 8-device mesh (ShardedInferencer: cube height
+    sharded, conv halos via GSPMD) returns the same enhancement as the
+    single-device service with the same params."""
+    from sshslie_tpu.parallel.mesh import make_mesh
+
+    cfg = Config(channels=CHANNELS, patch_size=16, global_min=0.0,
+                 global_max=4095.0, attention_impl="xla")
+    cfg.finalize()
+    single = EnhanceService(cfg, CHANNELS)
+    meshed = EnhanceService(cfg, CHANNELS, params=single.params,
+                            mesh=make_mesh("8"))
+    rng = np.random.RandomState(5)
+    cube = (rng.rand(32, 24, CHANNELS) * 4000).astype(np.float32)
+    a = single.enhance(cube)
+    b = meshed.enhance(cube)
+    np.testing.assert_allclose(a["S"], b["S"], rtol=1e-5, atol=1e-3)
