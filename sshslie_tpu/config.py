@@ -114,6 +114,7 @@ class Config:
     jit_cache_dir: str = "~/.cache/sshslie_tpu/xla"  # persistent XLA compilation cache ('' = disabled)
     profile_dir: str = ""                 # write a jax.profiler trace here when set
     eval_pad_multiple: int = 1            # >1: edge-pad H,W to a multiple for bucketed jit shapes
+    eval_sharded: bool = False            # mesh runs eval/test spatially sharded (pads H to 8·n — perturbs outputs unless divisible; see docs/CONFIG.md)
     async_eval: bool = False              # run mid-training eval on a params snapshot in a worker thread
     serve_host: str = "127.0.0.1"         # phase=serve: bind address
     serve_port: int = 8900                # phase=serve: port (0 = ephemeral)

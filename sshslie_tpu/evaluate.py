@@ -225,6 +225,23 @@ def _save_outputs(
         save_hsi(os.path.join(artifact_dir, stem + "_I_delta.mat"), np.asarray(I_delta))
 
 
+def _make_inferencer(trainer):
+    """Inferencer selection for eval/test.
+
+    ``eval_sharded: true`` + a trainer mesh → spatially-sharded whole-cube
+    inference (all chips work on each cube). OPT-IN, not automatic: the
+    sharded path pads H to a multiple of 8·n_devices, and this model's
+    global spatial attention means ANY padding perturbs every output pixel —
+    exact numerical parity with the reference's exact-shape forward only
+    holds for already-divisible cube heights. Default stays the
+    single-device shape-bucketed forward."""
+    cfg = trainer.cfg
+    mesh = getattr(trainer, "mesh", None)
+    if mesh is not None and getattr(cfg, "eval_sharded", False):
+        return ShardedInferencer(trainer.model, mesh, cfg.data_axis)
+    return Inferencer(trainer.model, cfg.eval_pad_multiple)
+
+
 def evaluate_model(
     trainer,
     eval_store: CubeStore,
@@ -244,7 +261,7 @@ def evaluate_model(
     cfg = trainer.cfg
     epoch_dir = os.path.join(eval_result_dir, f"epoch_{epoch}")
     os.makedirs(epoch_dir, exist_ok=True)
-    infer = Inferencer(trainer.model, cfg.eval_pad_multiple)
+    infer = _make_inferencer(trainer)
     with _OverlappedSaver() as saver:
         for idx, cube in enumerate(eval_store.cubes):
             filename = os.path.basename(eval_store.files[idx])
@@ -286,7 +303,7 @@ def test_model(
     )
     trainer.state = trainer.state.replace(params=params, opt_state=opt_state)
     os.makedirs(save_dir, exist_ok=True)
-    infer = Inferencer(trainer.model, cfg.eval_pad_multiple)
+    infer = _make_inferencer(trainer)
     total_run_time = 0.0
     with _OverlappedSaver() as saver:
         for idx, cube in enumerate(test_store.cubes):

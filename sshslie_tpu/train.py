@@ -67,6 +67,7 @@ class _SnapshotView:
     def __init__(self, trainer: "Trainer", params_host: Any):
         self.cfg = trainer.cfg
         self.model = trainer.model
+        self.mesh = trainer.mesh  # evaluate._make_inferencer dispatches on it
 
         class _S:
             params = params_host

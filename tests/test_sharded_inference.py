@@ -76,3 +76,49 @@ def test_band_sharded_rejects_uneven_channels():
     model = build_model(cfg, 6)
     with pytest.raises(ValueError, match="divisible"):
         BandShardedInferencer(model, make_mesh("8"), band_axis="data")
+
+
+def test_evaluate_model_sharded_optin_matches_single_device(tmp_path, rng):
+    """eval_sharded: true + a mesh runs spatially-sharded eval. With a cube
+    height already divisible by 8·n (no padding) the outputs match the
+    single-device path; the flag stays OFF by default because padding a
+    non-divisible cube perturbs every output through the global attention."""
+    import scipy.io as sio
+
+    from sshslie_tpu.config import Config
+    from sshslie_tpu.data.datasets import CubeStore
+    from sshslie_tpu.evaluate import (
+        Inferencer, ShardedInferencer, _make_inferencer, evaluate_model,
+    )
+    from sshslie_tpu.parallel.mesh import make_mesh
+    from sshslie_tpu.train import Trainer
+
+    d = tmp_path / "eval"
+    d.mkdir()
+    # H = 64 = 8 devices x 8 → the sharded path needs no padding
+    sio.savemat(str(d / "e0.mat"),
+                {"data": (rng.rand(64, 24, 4) * 100).astype(np.float32)})
+    store = CubeStore(str(d), normalization="self")
+
+    cfg = Config(channels=4, patch_size=16, attention_impl="xla",
+                 global_min=0.0, global_max=4095.0)
+    cfg.finalize()
+    single = Trainer(cfg, channels=4)
+    # default: a mesh alone does NOT switch the eval path
+    meshed_default = Trainer(cfg, channels=4, mesh=make_mesh("8"))
+    assert isinstance(_make_inferencer(single), Inferencer)
+    assert isinstance(_make_inferencer(meshed_default), Inferencer)
+
+    cfg_sh = Config(channels=4, patch_size=16, attention_impl="xla",
+                    global_min=0.0, global_max=4095.0, eval_sharded=True)
+    cfg_sh.finalize()
+    meshed = Trainer(cfg_sh, channels=4, mesh=make_mesh("8"))
+    meshed.state = meshed.state.replace(params=single.state.params)
+    assert isinstance(_make_inferencer(meshed), ShardedInferencer)
+
+    out_s, out_m = tmp_path / "out_s", tmp_path / "out_m"
+    evaluate_model(single, store, str(out_s), epoch=1, label_dir=None)
+    evaluate_model(meshed, store, str(out_m), epoch=1, label_dir=None)
+    a = sio.loadmat(str(out_s / "epoch_1" / "e0.mat"))["data"]
+    b = sio.loadmat(str(out_m / "epoch_1" / "e0.mat"))["data"]
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-3)
