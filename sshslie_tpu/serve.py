@@ -542,8 +542,13 @@ def parse_warmup(spec: str) -> list[Tuple[int, int]]:
     return shapes
 
 
-def serve_from_config(cfg: Config, mesh=None) -> None:
-    """main.py --phase serve entry: load the test checkpoint and serve."""
+def build_server_from_config(cfg: Config, mesh=None) -> "EnhanceServer":
+    """Resolve the checkpoint, build the service + server (not yet serving).
+
+    The construction half of ``--phase serve``, separated from the blocking
+    accept loop so the wiring (checkpoint resolution via test_timestamp,
+    channel checks, warmup) is independently drivable and testable.
+    """
     if cfg.device:
         # Standalone `python -m sshslie_tpu.serve` path — main.py applies this
         # before any jax use; do the same here.
@@ -561,7 +566,12 @@ def serve_from_config(cfg: Config, mesh=None) -> None:
     service = EnhanceService(cfg, channels, checkpoint_path=ckpt, mesh=mesh)
     if cfg.serve_warmup:
         service.warmup(parse_warmup(cfg.serve_warmup))
-    EnhanceServer(service, cfg.serve_host, cfg.serve_port).serve_forever()
+    return EnhanceServer(service, cfg.serve_host, cfg.serve_port)
+
+
+def serve_from_config(cfg: Config, mesh=None) -> None:
+    """main.py --phase serve entry: load the test checkpoint and serve."""
+    build_server_from_config(cfg, mesh=mesh).serve_forever()
 
 
 if __name__ == "__main__":

@@ -361,3 +361,54 @@ def test_mesh_serving_matches_single_device():
     a = single.enhance(cube)
     b = meshed.enhance(cube)
     np.testing.assert_allclose(a["S"], b["S"], rtol=1e-5, atol=1e-3)
+
+
+def test_serve_phase_wiring_from_checkpoint(tmp_path, monkeypatch):
+    """The --phase serve construction path: resolve the checkpoint from
+    test_timestamp, build the service, answer /health and /enhance."""
+    import os
+
+    from sshslie_tpu import checkpoints
+    from sshslie_tpu.serve import build_server_from_config
+    from sshslie_tpu.train import Trainer
+
+    monkeypatch.chdir(tmp_path)
+    train_cfg = Config(channels=CHANNELS, patch_size=16, attention_impl="xla",
+                       model_name="srv", global_min=0.0, global_max=4095.0)
+    train_cfg.finalize()
+    trainer = Trainer(train_cfg, channels=CHANNELS)
+    ckpt_dir = os.path.join(train_cfg.model_ckpt_dir,
+                            "Decomposition_" + train_cfg.timestamp)
+    checkpoints.save_checkpoint(checkpoints.latest_path(ckpt_dir),
+                                trainer.state.params, trainer.state.opt_state, 1)
+
+    cfg = Config(channels=CHANNELS, phase="serve", model_name="srv",
+                 test_timestamp=train_cfg.timestamp, serve_port=0,
+                 serve_pad_multiple=16, global_min=0.0, global_max=4095.0,
+                 attention_impl="xla")
+    cfg.finalize()
+    srv = build_server_from_config(cfg).start()
+    try:
+        conn = http.client.HTTPConnection(srv.host, srv.port, timeout=30)
+        conn.request("GET", "/health")
+        health = json.loads(conn.getresponse().read())
+        conn.close()
+        assert health["status"] == "ok" and health["channels"] == CHANNELS
+        rng = np.random.RandomState(6)
+        cube = (rng.rand(16, 16, CHANNELS) * 4000).astype(np.float32)
+        resp, body = _post_mat(srv, cube)
+        assert resp.status == 200
+        assert sio.loadmat(io.BytesIO(body))["data"].shape == cube.shape
+    finally:
+        srv.shutdown()
+
+
+def test_serve_phase_missing_checkpoint_is_actionable(tmp_path, monkeypatch):
+    from sshslie_tpu.serve import build_server_from_config
+
+    monkeypatch.chdir(tmp_path)
+    cfg = Config(channels=CHANNELS, phase="serve", model_name="ghost",
+                 test_timestamp="20990101_000000", serve_port=0)
+    cfg.finalize()
+    with pytest.raises(FileNotFoundError, match="test_timestamp"):
+        build_server_from_config(cfg)
