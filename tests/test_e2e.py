@@ -107,3 +107,25 @@ def test_train_and_test_on_mesh_through_main(workspace):
     # the epochs really stepped (loss printed per epoch, nonzero)
     assert "Epoch [2/2] Average Loss:" in text
     assert "Average Loss: 0.000000" not in text
+
+
+def test_resume_through_main(workspace):
+    """CLI resume glue: a second run with resume=true adopts the first run's
+    timestamp (config discovery) and continues from its checkpoint epoch."""
+    import main as entry
+
+    cfg1 = load_config(_write_cfg("cfg_r.yml", model_name="e2e_res", epoch=2,
+                                  eval_every_epoch=2, phase="train"))
+    entry.main(cfg1)
+    first_ts = cfg1.timestamp
+    assert glob.glob(f"checkpoint/e2e_res/Decomposition_{first_ts}/model_epoch_latest.ckpt")
+
+    cfg2 = load_config(_write_cfg("cfg_r2.yml", model_name="e2e_res", epoch=4,
+                                  eval_every_epoch=4, phase="train",
+                                  resume=True))
+    assert cfg2.timestamp == first_ts  # discovery adopted the original run
+    entry.main(cfg2)
+    log = sorted(glob.glob("logs/console_output_e2e_res_*.log"))[-1]
+    text = open(log).read()
+    assert "Resuming training from epoch 2" in text
+    assert "Epoch [4/4]" in text
