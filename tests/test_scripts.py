@@ -92,3 +92,27 @@ def test_profile_step_cli(tmp_path):
     assert ps.hlo_source_map('%f.1 = f32[] fusion(), metadata={op_name="a/b" '
                              'source_file="/x/layers.py" source_line=69}'
                              ) == {"f.1": "layers.py:69  b"}
+
+
+def test_make_synthetic_dataset_cli(tmp_path):
+    """The zero-setup dataset generator emits the reference layout plus a
+    loadable config whose paths resolve (the TPU demo in PERFORMANCE.md runs
+    exactly this)."""
+    import os
+
+    import scipy.io as sio
+
+    import scripts.make_synthetic_dataset as gen
+    from sshslie_tpu.config import load_config
+
+    out = tmp_path / "synth"
+    gen.main(["--out", str(out), "--size", "48", "--channels", "6",
+              "--train", "2", "--eval", "1", "--test", "1", "--epochs", "3"])
+    for sub in ("low/train", "low/eval", "low/test", "high/eval", "high/test"):
+        assert os.listdir(out / sub), sub
+    # darkened lows really are darker than their GT
+    low = sio.loadmat(str(next((out / "low/test").glob("*.mat"))))["data"]
+    high = sio.loadmat(str(next((out / "high/test").glob("*.mat"))))["data"]
+    assert low.mean() < 0.5 * high.mean()
+    cfg = load_config(str(out / "config.yml"))
+    assert cfg.channels == 6 and cfg.epoch == 3
