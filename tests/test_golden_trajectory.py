@@ -25,6 +25,9 @@ from sshslie_tpu.train import Trainer
 
 GOLDEN_TOTAL = [4.271433, 3.978681, 3.584191, 3.636757, 3.493603]
 GOLDEN_RECON = [0.307095, 0.285751, 0.259929, 0.264429, 0.256835]
+# host pipeline, sampler='python' (PCG64 stream — a different trajectory
+# from the fused threefry one by design, PARITY #19)
+GOLDEN_HOST_TOTAL = [4.275645, 3.852007, 3.565185, 3.58645, 3.462177]
 
 
 @pytest.fixture
@@ -52,3 +55,18 @@ def test_fused_trajectory_matches_golden(dataset, tmp_path):
         trainer.all_epoch_losses["total_loss"], GOLDEN_TOTAL, rtol=2e-4)
     np.testing.assert_allclose(
         trainer.all_epoch_losses["L_reconstruction"], GOLDEN_RECON, rtol=2e-4)
+
+
+def test_host_pipeline_trajectory_matches_golden(dataset, tmp_path):
+    """Same net, host pipeline + Python sampler: pins the PCG64 crop/augment
+    stream and the Prefetcher path."""
+    cfg = Config(channels=6, patch_size=16, batch_size=2, epoch=5,
+                 eval_every_epoch=100, plot_every_epoch=100,
+                 attention_impl="xla", fused_pipeline="off",
+                 sampler="python", seed_value=41)
+    cfg.finalize()
+    trainer = Trainer(cfg, channels=6)
+    trainer.fit(CubeStore(dataset, normalization="self"),
+                ckpt_dir=str(tmp_path / "ck_host"))
+    np.testing.assert_allclose(
+        trainer.all_epoch_losses["total_loss"], GOLDEN_HOST_TOTAL, rtol=2e-4)
