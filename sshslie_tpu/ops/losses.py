@@ -93,7 +93,9 @@ def _mask_np(h: int, w: int, cutoff: float) -> "np.ndarray":
     x = np.linspace(-1.0, 1.0, w, dtype=np.float32)
     Y, X = np.meshgrid(y, x, indexing="ij")
     radius = np.sqrt(X * X + Y * Y).astype(np.float32)
-    return (radius >= np.float32(cutoff)).astype(np.float32)
+    mask = (radius >= np.float32(cutoff)).astype(np.float32)
+    mask.setflags(write=False)  # cached object — guard against mutation
+    return mask
 
 
 def fourier_highpass_mask(h: int, w: int, cutoff: float = 0.1) -> jnp.ndarray:
@@ -125,6 +127,7 @@ def _halfplane_weights_np(h: int, w: int, cutoff: float) -> "np.ndarray":
         if pj == j or pj >= w:  # self-paired column (even w, j = w/2)
             continue
         weights[:, j] += mask[conj_rows, pj]
+    weights.setflags(write=False)  # cached object — guard against mutation
     return weights
 
 
