@@ -141,3 +141,23 @@ def test_calc_metrics_walker(tmp_path, rng):
 def test_calc_metrics_empty_raises(tmp_path):
     with pytest.raises(ValueError):
         calc_metrics(str(tmp_path / "*.mat"), str(tmp_path), verbose=False)
+
+
+def test_metrics_cli(tmp_path, capsys, rng):
+    """`python -m sshslie_tpu.metrics <glob> <label_dir>` — the reference's
+    hardcoded standalone __main__ (metrics.py:143-162), made argument-driven."""
+    import scipy.io as sio
+
+    from sshslie_tpu.metrics import _main
+
+    pred, gt = tmp_path / "pred", tmp_path / "gt"
+    pred.mkdir(); gt.mkdir()
+    cube = (rng.rand(16, 16, 4) * 1000).astype(np.float32)
+    noisy = cube + rng.randn(16, 16, 4).astype(np.float32) * 5
+    sio.savemat(str(pred / "a.mat"), {"data": noisy})
+    sio.savemat(str(gt / "a.mat"), {"data": cube})
+    _main([str(pred / "*.mat"), str(gt), "--data_max", "4095"])
+    out = capsys.readouterr().out
+    assert "Avg.PSNR" in out and "Avg.SSIM" in out and "Avg.SAM" in out
+    psnr_line = [ln for ln in out.splitlines() if "Avg.PSNR" in ln][0]
+    assert float(psnr_line.split(":")[1]) > 40  # tiny noise → high PSNR
