@@ -317,3 +317,33 @@ def test_export_roundtrip_and_reference_load(paired_models, tmp_path, rng):
     _, _, _, S_j = ours.apply({"params": params}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(S_j),
                                S_t.numpy().transpose(0, 2, 3, 1), atol=2e-5)
+
+
+def test_interop_script_mains_roundtrip(paired_models, tmp_path):
+    """The import/export CLI mains (not just the library functions): a
+    reference .pth imports to our format, our checkpoint exports to a .pth
+    the reference model loads — full circle through argv parsing."""
+    import scripts.export_torch_checkpoint as exp
+    import scripts.import_torch_checkpoint as imp
+
+    from sshslie_tpu import checkpoints
+
+    ref, ours, params, C = paired_models
+    pth = tmp_path / "ref.pth"
+    torch.save({"epoch": 3, "model_state_dict": ref.state_dict(),
+                "optimizer_state_dict": {}}, str(pth))
+
+    imported = tmp_path / "imported"
+    imp.main([str(pth), str(imported)])
+    loaded, epoch = checkpoints.load_pretrained_params(str(imported), params)
+    assert epoch == 3
+
+    ours_ckpt = tmp_path / "ours.ckpt"
+    checkpoints.save_checkpoint(str(ours_ckpt), params, None, 5)
+    out_pth = tmp_path / "export.pth"
+    exp.main(["--checkpoint", str(ours_ckpt), "--channels", str(C),
+              "--out", str(out_pth)])
+    ck = torch.load(str(out_pth), map_location="cpu", weights_only=False)
+    ref2 = type(ref)(input_channels=C, device=torch.device("cpu"))
+    ref2.load_state_dict(ck["model_state_dict"])  # loads cleanly
+    assert ck["epoch"] == 5
