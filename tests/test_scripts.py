@@ -116,3 +116,29 @@ def test_make_synthetic_dataset_cli(tmp_path):
     assert low.mean() < 0.5 * high.mean()
     cfg = load_config(str(out / "config.yml"))
     assert cfg.channels == 6 and cfg.epoch == 3
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference/model.py"),
+                    reason="reference checkout not available")
+def test_parity_ab_study_small(tmp_path):
+    """scripts/parity_ab_study.py end-to-end at toy scale (fresh subprocess,
+    exactly as a user runs it): both frameworks' loaders agree bit-for-bit,
+    and over a short horizon — before float-chaos amplification, see the
+    study notes in docs/PARITY.md — the trained-metric deltas sit inside the
+    parity budget."""
+    import json
+    import subprocess
+
+    out = tmp_path / "report.json"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "parity_ab_study.py"),
+         "--steps", "25", "--channels", "8", "--patch", "24", "--cube", "64",
+         "--out", str(out)],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.loads(out.read_text())
+    assert rep["loader_max_abs_delta"] == 0.0
+    assert rep["delta_psnr_db"] < 0.1, rep
+    assert rep["delta_ssim"] < 0.01, rep
+    assert rep["trained_output_cross_psnr_db"] > 35, rep
