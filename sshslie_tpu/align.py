@@ -387,3 +387,46 @@ def _save_preview(low: np.ndarray, gt: np.ndarray, warped: np.ndarray,
     plt.tight_layout()
     plt.savefig(out_png, dpi=150)
     plt.close(fig)
+
+
+def main(argv=None):
+    """CLI for the batch checker — the call surface MATLAB users had via
+    ``check_misregistration_hsi(lowDir, gtDir, outCsv, previewDir, opts)``
+    (misregistration.m:4-15)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Check (and optionally fix) low/GT HSI misregistration."
+    )
+    ap.add_argument("--low_dir", required=True)
+    ap.add_argument("--gt_dir", required=True)
+    ap.add_argument("--out_csv", required=True)
+    ap.add_argument("--preview_dir", default="")
+    ap.add_argument("--proj_method", default="median",
+                    choices=("band", "mean", "median", "pca"))
+    ap.add_argument("--band", type=int, default=0)
+    ap.add_argument("--shift_thresh", type=float, default=1.0)
+    ap.add_argument("--flow_thresh", type=float, default=0.8)
+    ap.add_argument("--flow_method", default="lk", choices=("lk", "proxy"))
+    ap.add_argument("--save_aligned", default="",
+                    help="directory for shift-corrected low cubes ('' = skip)")
+    ap.add_argument("--max_previews", type=int, default=30)
+    ap.add_argument("--mat_key", default="data")
+    args = ap.parse_args(argv)
+
+    results = check_misregistration_hsi(
+        args.low_dir, args.gt_dir, args.out_csv, args.preview_dir,
+        AlignOptions(
+            proj_method=args.proj_method, band_for_vis=args.band,
+            shift_thresh=args.shift_thresh, flow_thresh=args.flow_thresh,
+            flow_method=args.flow_method, save_aligned_dir=args.save_aligned,
+            max_previews=args.max_previews, mat_key=args.mat_key,
+        ),
+    )
+    flagged = sum(r.flag_misaligned for r in results)
+    print(f"{len(results)} pairs checked, {flagged} flagged.")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -130,3 +130,64 @@ class SpectraInspector:
         import matplotlib.pyplot as plt
 
         plt.show()
+
+
+def main(argv=None):
+    """Launcher CLI — the call surface MATLAB users had via drag3(...)
+    (drag3.m:84-255). Interactive when a GUI backend exists; ``--save``
+    renders the same synchronized figure headlessly (Agg) instead.
+    """
+    import argparse
+    import os
+
+    import scipy.io as sio
+
+    ap = argparse.ArgumentParser(
+        description="Inspect windowed-mean spectra at (draggable) probe points."
+    )
+    ap.add_argument("--cube", action="append", required=True,
+                    help="'Label=path.mat' or bare path; repeatable")
+    ap.add_argument("--wave_start", type=float, required=True)
+    ap.add_argument("--wave_end", type=float, required=True)
+    ap.add_argument("--point", action="append", default=[],
+                    help="'x,y' initial probe; repeatable (default one at 10,10)")
+    ap.add_argument("--window", type=int, default=5)
+    ap.add_argument("--white", default="",
+                    help="'y0,y1,x0,x1' white-calibration region")
+    ap.add_argument("--normalization", default="zeroOne")
+    ap.add_argument("--save", default="",
+                    help="write a static PNG instead of opening a window (headless)")
+    ap.add_argument("--mat_key", default="data")
+    args = ap.parse_args(argv)
+
+    if args.save:
+        import matplotlib
+
+        matplotlib.use("Agg")
+
+    cubes = {}
+    for spec in args.cube:
+        label, _, path = spec.rpartition("=")
+        path = path or spec
+        label = label or os.path.splitext(os.path.basename(path))[0]
+        while label in cubes:  # bare paths may share a basename
+            label += "_"
+        cubes[label] = np.asarray(sio.loadmat(path)[args.mat_key], dtype=np.float64)
+
+    points = [tuple(int(v) for v in p.split(",")) for p in args.point] or [(10, 10)]
+    white = (tuple(int(v) for v in args.white.split(",")) if args.white else None)
+    insp = SpectraInspector(
+        cubes, args.wave_start, args.wave_end, points=points,
+        window_size=args.window, white_region=white,
+        normalization=args.normalization,
+    )
+    if args.save:
+        insp.fig.savefig(args.save, dpi=200, bbox_inches="tight")
+        print(f"Wrote {args.save}")
+        return insp
+    insp.show()
+    return insp
+
+
+if __name__ == "__main__":
+    main()

@@ -260,3 +260,85 @@ def comparison_grid(
     plt.savefig(save_path, dpi=dpi, bbox_inches="tight")
     plt.close()
     return save_path
+
+
+def main(argv=None):
+    """Composite-export CLI — the visualizeHsi*(...) call surface
+    (visualizeHsiFalseColor_indoor.m / _jyu.m / visualizeHsiTrueColor.m).
+
+    One PNG per input cube; ``--preset`` picks the band triple, the
+    normalization modes mirror visualizeHsiFalseColor_indoor.m:21-48.
+    """
+    import argparse
+
+    import scipy.io as sio
+
+    ap = argparse.ArgumentParser(description="Export false/true-color composites.")
+    ap.add_argument("--cube", action="append", required=True,
+                    help="'Label=path.mat' or bare path; repeatable")
+    ap.add_argument("--out", required=True, help="output PNG (single cube) or directory")
+    ap.add_argument("--wave_start", type=float, required=True)
+    ap.add_argument("--wave_end", type=float, required=True)
+    ap.add_argument("--preset", default="indoor", choices=("indoor", "jyu", "true"))
+    ap.add_argument("--normalization", default="zeroOne",
+                    choices=("none", "zeroOne", "divideMax", "divideGlobalMax",
+                             "percClip", "shared"))
+    ap.add_argument("--global_max", type=float, default=None)
+    ap.add_argument("--gamma", type=float, default=1.0)
+    ap.add_argument("--shared_method", default="fixedMax",
+                    choices=("fixedMax", "percentile"),
+                    help="display-params method when --normalization shared")
+    ap.add_argument("--point", action="append", default=[],
+                    help="'x,y' probe marker; repeatable")
+    ap.add_argument("--grid", action="store_true",
+                    help="multiple cubes: one comparison grid instead of one PNG each")
+    ap.add_argument("--mat_key", default="data")
+    args = ap.parse_args(argv)
+
+    targets = {"indoor": FALSE_COLOR_INDOOR, "jyu": FALSE_COLOR_JYU,
+               "true": TRUE_COLOR}[args.preset]
+    cubes = {}
+    for spec in args.cube:
+        label, _, path = spec.rpartition("=")
+        path = path or spec
+        label = label or os.path.splitext(os.path.basename(path))[0]
+        while label in cubes:  # bare paths may share a basename
+            label += "_"
+        cubes[label] = np.asarray(sio.loadmat(path)[args.mat_key], dtype=np.float64)
+
+    dp = None
+    if args.normalization == "shared":
+        n_bands = next(iter(cubes.values())).shape[2]
+        band_idx = band_indices_for_wavelengths(
+            n_bands, args.wave_start, args.wave_end, targets
+        )
+        dp = compute_display_params(
+            list(cubes.values()), band_idx, method=args.shared_method,
+            gamma=args.gamma,
+        )
+    points = [tuple(int(v) for v in p.split(",")) for p in args.point]
+
+    composites = {
+        label: false_color(
+            cube, args.wave_start, args.wave_end, targets_nm=targets,
+            normalization=args.normalization, global_max=args.global_max,
+            display_params=dp, gamma=args.gamma,
+        )
+        for label, cube in cubes.items()
+    }
+    if args.grid and len(composites) > 1:
+        out = comparison_grid(composites, args.out if args.out.endswith(".png")
+                              else os.path.join(args.out, "grid.png"))
+        print(f"Wrote {out}")
+        return [out]
+    written = []
+    for label, rgb in composites.items():
+        out = (args.out if args.out.endswith(".png") and len(composites) == 1
+               else os.path.join(args.out, f"{label}.png"))
+        written.append(save_false_color_figure(rgb, out, points=points, title=label))
+        print(f"Wrote {written[-1]}")
+    return written
+
+
+if __name__ == "__main__":
+    main()

@@ -160,3 +160,31 @@ def test_batch_checker_no_pairs(tmp_path):
     with pytest.raises(ValueError):
         check_misregistration_hsi(str(tmp_path / "a"), str(tmp_path / "b"),
                                   str(tmp_path / "r.csv"))
+
+
+def test_align_cli_main(tmp_path, rng):
+    """python -m sshslie_tpu.align — the MATLAB call surface as a CLI."""
+    from sshslie_tpu.align import main as align_main
+
+    low_dir = tmp_path / "low"
+    gt_dir = tmp_path / "gt"
+    low_dir.mkdir(); gt_dir.mkdir()
+    base = _scene(rng)
+    cube = np.stack([base * (1 + 0.1 * b) for b in range(5)], axis=-1)
+    sio.savemat(gt_dir / "a.mat", {"data": cube.astype(np.float32)})
+    shifted = np.roll(cube, (-3, 2), axis=(0, 1))
+    sio.savemat(low_dir / "a.mat", {"data": (shifted * 0.3).astype(np.float32)})
+
+    out_csv = tmp_path / "r.csv"
+    aligned = tmp_path / "aligned"
+    results = align_main([
+        "--low_dir", str(low_dir), "--gt_dir", str(gt_dir),
+        "--out_csv", str(out_csv), "--save_aligned", str(aligned),
+        "--flow_method", "proxy",
+    ])
+    assert len(results) == 1 and results[0].flag_misaligned
+    assert out_csv.exists()
+    fixed = sio.loadmat(aligned / "a.mat")["data"]
+    # the saved aligned cube has the shift undone (interior matches)
+    ref = (cube * 0.3).astype(np.float32)
+    assert np.abs(fixed[8:-8, 8:-8] - ref[8:-8, 8:-8]).mean() < 0.02 * ref.mean() + 1e-3

@@ -91,3 +91,47 @@ def test_figure_exports(tmp_path, rng):
 
     g = viz.comparison_grid({"A": rgb, "B": rgb}, str(tmp_path / "grid.png"))
     assert os.path.exists(g)
+
+
+def test_viz_cli_main(tmp_path, rng):
+    """python -m sshslie_tpu.viz — composite export CLI (single, grid)."""
+    import scipy.io as sio
+
+    from sshslie_tpu.viz import main as viz_main
+
+    a = (rng.rand(16, 16, 12) * 900).astype(np.float32)
+    b = (rng.rand(16, 16, 12) * 900).astype(np.float32)
+    sio.savemat(tmp_path / "a.mat", {"data": a})
+    sio.savemat(tmp_path / "b.mat", {"data": b})
+
+    out = tmp_path / "one.png"
+    written = viz_main(["--cube", str(tmp_path / "a.mat"), "--out", str(out),
+                        "--wave_start", "414.6", "--wave_end", "985.0",
+                        "--preset", "jyu", "--point", "4,5"])
+    assert written == [str(out)] and out.exists()
+
+    grid = tmp_path / "grid.png"
+    written = viz_main(["--cube", f"A={tmp_path/'a.mat'}",
+                        "--cube", f"B={tmp_path/'b.mat'}",
+                        "--out", str(grid), "--grid",
+                        "--wave_start", "414.6", "--wave_end", "985.0",
+                        "--normalization", "shared"])
+    assert written == [str(grid)] and grid.exists()
+
+
+def test_inspect_spectra_cli_headless(tmp_path, rng):
+    """python -m sshslie_tpu.inspect_spectra --save — headless static export."""
+    import scipy.io as sio
+
+    from sshslie_tpu.inspect_spectra import main as inspect_main
+
+    cube = (rng.rand(20, 20, 8) * 100).astype(np.float32)
+    sio.savemat(tmp_path / "c.mat", {"data": cube})
+    out = tmp_path / "probe.png"
+    insp = inspect_main(["--cube", f"C={tmp_path/'c.mat'}",
+                         "--wave_start", "400", "--wave_end", "900",
+                         "--point", "3,4", "--point", "10,12",
+                         "--white", "0,5,0,5", "--save", str(out)])
+    assert out.exists()
+    specs = insp.spectra()
+    assert len(specs["C"]) == 2 and specs["C"][0].shape == (8,)
