@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Serving-path throughput/latency benchmark (in-process EnhanceService).
+
+Measures the persistent-serving surface (sshslie_tpu/serve.py) under
+concurrent load on the local accelerator: N client threads fire same-shape
+cubes at one service; reports requests/sec and latency percentiles, for
+sequential serving (max_batch 1) vs dynamic micro-batching, and optionally
+for quantized weights.
+
+The service path includes the real per-request host work (normalization,
+bucket padding, denormalization) — this is the end-to-end number a serving
+deployment sees, unlike bench.py --extra's pure device forward.
+
+Usage:
+  python scripts/serve_bench.py [--size 256] [--channels 64]
+         [--requests 48] [--threads 8] [--quantize int8] [--device cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_case(cfg_kwargs, size, channels, requests, threads, label):
+    from sshslie_tpu.config import Config
+    from sshslie_tpu.serve import EnhanceService
+
+    cfg = Config(channels=channels, normalization="global_normalization",
+                 global_min=0.0, global_max=4095.0, **cfg_kwargs)
+    service = EnhanceService(cfg, channels)
+    service.warmup([(size, size)])
+
+    rng = np.random.RandomState(0)
+    cubes = [rng.rand(size, size, channels).astype(np.float32) * 4000.0
+             for _ in range(min(requests, 8))]
+
+    lat = []
+
+    def one(i):
+        t0 = time.perf_counter()
+        out = service.enhance(cubes[i % len(cubes)])
+        dt = time.perf_counter() - t0
+        assert out["S"].shape == (size, size, channels)
+        return dt
+
+    # prime (post-warmup steady state)
+    one(0)
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=threads) as pool:
+        lat = list(pool.map(one, range(requests)))
+    wall = time.perf_counter() - t0
+    if service.batcher is not None:
+        service.batcher.close()
+
+    lat = np.sort(np.array(lat))
+    stats = service.stats()
+    return {
+        "case": label,
+        "requests_per_sec": round(requests / wall, 2),
+        "mpb_per_sec": round(requests * size * size * channels / 1e6 / wall, 1),
+        "latency_p50_ms": round(float(lat[len(lat) // 2]) * 1e3, 1),
+        "latency_p95_ms": round(float(lat[int(len(lat) * 0.95) - 1]) * 1e3, 1),
+        "max_batch_seen": stats.get("max_batch_seen", 1),
+        "batched_runs": stats.get("batched_runs", 0),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--channels", type=int, default=64)
+    ap.add_argument("--requests", type=int, default=48)
+    ap.add_argument("--threads", type=int, default=8)
+    ap.add_argument("--max_batch", type=int, default=8)
+    ap.add_argument("--quantize", default="", choices=("", "int8", "fp8"))
+    ap.add_argument("--device", default="", help="'cpu' forces the CPU backend")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+
+    cases = [
+        ({"serve_max_batch": 1}, "sequential"),
+        ({"serve_max_batch": args.max_batch,
+          "serve_batch_window_ms": 5.0}, f"microbatch{args.max_batch}"),
+    ]
+    if args.quantize:
+        cases.append(({"serve_max_batch": 1, "serve_quantize": args.quantize},
+                      f"sequential_{args.quantize}"))
+
+    results = [run_case(kw, args.size, args.channels, args.requests,
+                        args.threads, label) for kw, label in cases]
+    report = {
+        "workload": f"{args.size}x{args.size}x{args.channels}",
+        "requests": args.requests,
+        "threads": args.threads,
+        "backend": jax.default_backend(),
+        "cases": results,
+    }
+    print(json.dumps(report, indent=2))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(report, fh, indent=2)
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -412,3 +412,27 @@ def test_serve_phase_missing_checkpoint_is_actionable(tmp_path, monkeypatch):
     cfg.finalize()
     with pytest.raises(FileNotFoundError, match="test_timestamp"):
         build_server_from_config(cfg)
+
+
+def test_serve_bench_script_run_case():
+    """scripts/serve_bench.py's core loop: concurrent requests through the
+    real EnhanceService, sane stats for both the sequential and the
+    micro-batched case."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "sshslie_scripts_serve_bench",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "serve_bench.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    res = mod.run_case({"serve_max_batch": 1}, 32, CHANNELS, 6, 2, "seq")
+    assert res["requests_per_sec"] > 0 and res["latency_p50_ms"] > 0
+    res_mb = mod.run_case(
+        {"serve_max_batch": 4, "serve_batch_window_ms": 20.0},
+        32, CHANNELS, 6, 3, "mb",
+    )
+    assert res_mb["batched_runs"] >= 1 and res_mb["max_batch_seen"] >= 1
