@@ -114,7 +114,8 @@ class Config:
     jit_cache_dir: str = "~/.cache/sshslie_tpu/xla"  # persistent XLA compilation cache ('' = disabled)
     profile_dir: str = ""                 # write a jax.profiler trace here when set
     eval_pad_multiple: int = 1            # >1: edge-pad H,W to a multiple for bucketed jit shapes
-    eval_sharded: bool = False            # mesh runs eval/test spatially sharded (pads H to 8·n — perturbs outputs unless divisible; see docs/CONFIG.md)
+    eval_sharded: bool = False            # mesh runs eval/test sharded (see eval_shard_mode; padding perturbs outputs unless divisible — docs/CONFIG.md)
+    eval_shard_mode: str = "spatial"      # 'spatial' (height across chips, halo exchanges) | 'band' (spectral axis, needs channels % n_devices == 0)
     async_eval: bool = False              # run mid-training eval on a params snapshot in a worker thread
     serve_host: str = "127.0.0.1"         # phase=serve: bind address
     serve_port: int = 8900                # phase=serve: port (0 = ephemeral)
@@ -190,6 +191,7 @@ _ENUM_FIELDS: dict[str, tuple] = {
     "sampler": ("auto", "native", "python"),
     "fused_pipeline": ("auto", "on", "off"),
     "serve_quantize": ("", "int8", "fp8"),
+    "eval_shard_mode": ("spatial", "band"),
     "device": ("", "cpu", "tpu", "gpu"),
 }
 

@@ -238,6 +238,8 @@ def _make_inferencer(trainer):
     cfg = trainer.cfg
     mesh = getattr(trainer, "mesh", None)
     if mesh is not None and getattr(cfg, "eval_sharded", False):
+        if getattr(cfg, "eval_shard_mode", "spatial") == "band":
+            return BandShardedInferencer(trainer.model, mesh, cfg.data_axis)
         return ShardedInferencer(trainer.model, mesh, cfg.data_axis)
     return Inferencer(trainer.model, cfg.eval_pad_multiple)
 

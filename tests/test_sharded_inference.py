@@ -122,3 +122,44 @@ def test_evaluate_model_sharded_optin_matches_single_device(tmp_path, rng):
     a = sio.loadmat(str(out_s / "epoch_1" / "e0.mat"))["data"]
     b = sio.loadmat(str(out_m / "epoch_1" / "e0.mat"))["data"]
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-3)
+
+
+def test_evaluate_model_band_sharded_optin(tmp_path, rng):
+    """eval_shard_mode: band dispatches to BandShardedInferencer and the
+    eval outputs match the single-device path (channels divisible by the
+    mesh axis; band sharding needs no spatial padding beyond /8)."""
+    import scipy.io as sio
+
+    from sshslie_tpu.config import Config
+    from sshslie_tpu.data.datasets import CubeStore
+    from sshslie_tpu.evaluate import (
+        BandShardedInferencer, _make_inferencer, evaluate_model,
+    )
+    from sshslie_tpu.parallel.mesh import make_mesh
+    from sshslie_tpu.train import Trainer
+
+    d = tmp_path / "eval"
+    d.mkdir()
+    sio.savemat(str(d / "e0.mat"),
+                {"data": (rng.rand(40, 24, 8) * 100).astype(np.float32)})
+    store = CubeStore(str(d), normalization="self")
+
+    cfg = Config(channels=8, patch_size=16, attention_impl="xla",
+                 global_min=0.0, global_max=4095.0)
+    cfg.finalize()
+    single = Trainer(cfg, channels=8)
+
+    cfg_b = Config(channels=8, patch_size=16, attention_impl="xla",
+                   global_min=0.0, global_max=4095.0, eval_sharded=True,
+                   eval_shard_mode="band")
+    cfg_b.finalize()
+    meshed = Trainer(cfg_b, channels=8, mesh=make_mesh("8"))
+    meshed.state = meshed.state.replace(params=single.state.params)
+    assert isinstance(_make_inferencer(meshed), BandShardedInferencer)
+
+    out_s, out_b = tmp_path / "out_s", tmp_path / "out_b"
+    evaluate_model(single, store, str(out_s), epoch=1, label_dir=None)
+    evaluate_model(meshed, store, str(out_b), epoch=1, label_dir=None)
+    a = sio.loadmat(str(out_s / "epoch_1" / "e0.mat"))["data"]
+    b = sio.loadmat(str(out_b / "epoch_1" / "e0.mat"))["data"]
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-3)
