@@ -57,6 +57,8 @@ class CubeStore:
             )
             for f in self.files
         ]
+        # (H, W, C) per cube; LazyCubeStore fills this from headers instead.
+        self.shapes: List[tuple] = [c.shape for c in self.cubes]
 
     def __len__(self) -> int:
         return len(self.cubes)

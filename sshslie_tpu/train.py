@@ -565,6 +565,26 @@ class Trainer:
         label_dir: Optional[str] = None,
     ) -> None:
         cfg = self.cfg
+        # Fail at fit start with an actionable message, not steps later with a
+        # gather-out-of-range (patch) or a flax shape error (channels). The
+        # reference crashes the same two ways (model.py:306-307 crop; conv0).
+        shapes = getattr(train_store, "shapes", None) or [
+            c.shape for c in train_store.cubes
+        ]
+        if shapes:
+            min_h = min(s[0] for s in shapes)
+            min_w = min(s[1] for s in shapes)
+            if cfg.patch_size > min_h or cfg.patch_size > min_w:
+                raise ValueError(
+                    f"patch_size {cfg.patch_size} exceeds the smallest "
+                    f"training cube ({min_h}x{min_w}); reduce patch_size"
+                )
+            if shapes[0][2] != self.channels:
+                raise ValueError(
+                    f"model was built for {self.channels} channels but the "
+                    f"training cubes have {shapes[0][2]} (check the "
+                    f"'channels' config key vs {train_store.files[0]})"
+                )
         ckpt_dir = ckpt_dir or os.path.join(
             cfg.model_ckpt_dir, "Decomposition_" + cfg.timestamp
         )

@@ -91,3 +91,44 @@ def test_missing_mat_key_lists_available(tmp_path):
     sio.savemat(str(p), {"other": np.ones((4, 4, 2), np.float32)})
     with pytest.raises(KeyError, match="other"):
         load_hsi(str(p), mat_key="data")
+
+
+def _store(tmp_path, rng, h=20, w=20, c=4):
+    import scipy.io as sio
+
+    from sshslie_tpu.data.datasets import CubeStore
+
+    d = tmp_path / "train"
+    d.mkdir(exist_ok=True)
+    sio.savemat(str(d / "c0.mat"),
+                {"data": (rng.rand(h, w, c) * 100).astype(np.float32)})
+    return CubeStore(str(d), normalization="self")
+
+
+def test_fit_rejects_oversized_patch(tmp_path, rng):
+    """patch_size > smallest cube side fails at fit start with a clear
+    message, not steps later inside a gather (reference crashes at
+    model.py:306-307)."""
+    from sshslie_tpu.config import Config
+    from sshslie_tpu.train import Trainer
+
+    cfg = Config(channels=4, patch_size=64, batch_size=1, epoch=1,
+                 attention_impl="xla")
+    cfg.finalize()
+    trainer = Trainer(cfg, channels=4)
+    with pytest.raises(ValueError, match="patch_size 64 exceeds"):
+        trainer.fit(_store(tmp_path, rng), ckpt_dir=str(tmp_path / "ck"))
+
+
+def test_fit_rejects_channel_mismatch(tmp_path, rng):
+    """Explicit channels that contradict the data fail at fit start naming
+    both values and the file (not a flax ScopeParamShapeError)."""
+    from sshslie_tpu.config import Config
+    from sshslie_tpu.train import Trainer
+
+    cfg = Config(channels=9, patch_size=8, batch_size=1, epoch=1,
+                 attention_impl="xla")
+    cfg.finalize()
+    trainer = Trainer(cfg, channels=9)
+    with pytest.raises(ValueError, match="9 channels.*have 4"):
+        trainer.fit(_store(tmp_path, rng), ckpt_dir=str(tmp_path / "ck"))
