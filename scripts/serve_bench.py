@@ -68,7 +68,8 @@ def run_case(cfg_kwargs, size, channels, requests, threads, label):
         "requests_per_sec": round(requests / wall, 2),
         "mpb_per_sec": round(requests * size * size * channels / 1e6 / wall, 1),
         "latency_p50_ms": round(float(lat[len(lat) // 2]) * 1e3, 1),
-        "latency_p95_ms": round(float(lat[int(len(lat) * 0.95) - 1]) * 1e3, 1),
+        # nearest-rank-from-above: int(n*0.95)-1 under-reports the tail
+        "latency_p95_ms": round(float(np.percentile(lat, 95, method="higher")) * 1e3, 1),
         "max_batch_seen": stats.get("max_batch_seen", 1),
         "batched_runs": stats.get("batched_runs", 0),
     }

@@ -185,7 +185,9 @@ _ENUM_FIELDS: dict[str, tuple] = {
                       "per_channel_normalization",
                       "per_channel_standardization", None, ""),
     "precision": ("float32", "bfloat16"),
-    "matmul_precision": ("", "default", "bfloat16", "bfloat16_3x",
+    # Mirror of the values the installed JAX accepts for
+    # jax_default_matmul_precision ('bfloat16_3x' is NOT one of them).
+    "matmul_precision": ("", "default", "bfloat16", "high",
                          "tensorfloat32", "float32", "highest"),
     "attention_impl": ("auto", "xla", "pallas", "chunked"),
     "sampler": ("auto", "native", "python"),

@@ -138,9 +138,8 @@ def main(argv=None):
     renders the same synchronized figure headlessly (Agg) instead.
     """
     import argparse
-    import os
 
-    import scipy.io as sio
+    from sshslie_tpu.utils.io_hsi import load_cube_specs
 
     ap = argparse.ArgumentParser(
         description="Inspect windowed-mean spectra at (draggable) probe points."
@@ -165,14 +164,7 @@ def main(argv=None):
 
         matplotlib.use("Agg")
 
-    cubes = {}
-    for spec in args.cube:
-        label, _, path = spec.rpartition("=")
-        path = path or spec
-        label = label or os.path.splitext(os.path.basename(path))[0]
-        while label in cubes:  # bare paths may share a basename
-            label += "_"
-        cubes[label] = np.asarray(sio.loadmat(path)[args.mat_key], dtype=np.float64)
+    cubes = load_cube_specs(args.cube, mat_key=args.mat_key)
 
     points = [tuple(int(v) for v in p.split(",")) for p in args.point] or [(10, 10)]
     white = (tuple(int(v) for v in args.white.split(",")) if args.white else None)

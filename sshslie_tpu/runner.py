@@ -43,10 +43,19 @@ def _log_source_artifacts(mlflow) -> None:
     pkg = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg)
     try:
-        head = subprocess.run(
-            ["git", "-C", root, "rev-parse", "HEAD"],
+        # Only stamp when `root` IS a checkout (toplevel == root). Without
+        # this, a wheel installed into a venv that lives inside some other
+        # project's repo would stamp THAT repo's HEAD as our provenance.
+        toplevel = subprocess.run(
+            ["git", "-C", root, "rev-parse", "--show-toplevel"],
             capture_output=True, text=True, timeout=10,
         ).stdout.strip()
+        head = ""
+        if toplevel and os.path.realpath(toplevel) == os.path.realpath(root):
+            head = subprocess.run(
+                ["git", "-C", root, "rev-parse", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
     except (OSError, subprocess.TimeoutExpired):
         head = ""
     if head:

@@ -110,6 +110,27 @@ def load_hsi(
     )
 
 
+def load_cube_specs(specs, mat_key: str = "data") -> dict:
+    """Parse repeatable ``'Label=path.mat'`` / bare-path CLI specs into an
+    ordered ``{label: float64 cube}`` dict (shared by the viz and
+    inspect-spectra CLIs; loads v7 and v7.3 ``.mat`` alike).
+
+    Bare paths label themselves by basename; duplicate labels get trailing
+    underscores so every spec stays visible.
+    """
+    cubes: dict = {}
+    for spec in specs:
+        label, _, path = spec.rpartition("=")
+        path = path or spec
+        label = label or os.path.splitext(os.path.basename(path))[0]
+        while label in cubes:  # bare paths may share a basename
+            label += "_"
+        cubes[label] = np.asarray(
+            load_hsi(path, mat_key=mat_key, normalization=None), dtype=np.float64
+        )
+    return cubes
+
+
 def normalize_like_load(
     x: np.ndarray,
     normalization: Optional[str],

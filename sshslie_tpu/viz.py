@@ -271,7 +271,7 @@ def main(argv=None):
     """
     import argparse
 
-    import scipy.io as sio
+    from sshslie_tpu.utils.io_hsi import load_cube_specs
 
     ap = argparse.ArgumentParser(description="Export false/true-color composites.")
     ap.add_argument("--cube", action="append", required=True,
@@ -297,14 +297,12 @@ def main(argv=None):
 
     targets = {"indoor": FALSE_COLOR_INDOOR, "jyu": FALSE_COLOR_JYU,
                "true": TRUE_COLOR}[args.preset]
-    cubes = {}
-    for spec in args.cube:
-        label, _, path = spec.rpartition("=")
-        path = path or spec
-        label = label or os.path.splitext(os.path.basename(path))[0]
-        while label in cubes:  # bare paths may share a basename
-            label += "_"
-        cubes[label] = np.asarray(sio.loadmat(path)[args.mat_key], dtype=np.float64)
+    cubes = load_cube_specs(args.cube, mat_key=args.mat_key)
+    if len(cubes) > 1 and not args.grid and args.out.endswith(".png"):
+        ap.error(
+            f"--out {args.out!r} names a single PNG but {len(cubes)} cubes "
+            "were given; pass a directory, or --grid for one comparison figure"
+        )
 
     dp = None
     if args.normalization == "shared":
