@@ -142,3 +142,22 @@ def test_parity_ab_study_small(tmp_path):
     assert rep["delta_psnr_db"] < 0.1, rep
     assert rep["delta_ssim"] < 0.01, rep
     assert rep["trained_output_cross_psnr_db"] > 35, rep
+
+
+def test_library_quickstart_example(tmp_path):
+    """examples/library_quickstart.py (the docs/API.md companion) must stay
+    runnable: train → checkpoint restore → inference → int8 quantization →
+    metrics, all through the library API. Subprocess because the example
+    chdir's into its own scratch dir."""
+    import subprocess
+
+    example = os.path.join(os.path.dirname(SCRIPTS), "examples",
+                           "library_quickstart.py")
+    proc = subprocess.run(
+        [sys.executable, example], capture_output=True, text=True, timeout=540,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "restored epoch 4" in proc.stdout
+    assert "int8 vs fp32" in proc.stdout
+    assert "enhanced vs GT" in proc.stdout
