@@ -47,16 +47,28 @@ class CubeStore:
         pattern: str = "*.mat",
     ):
         self.files: List[str] = sorted(glob(os.path.join(data_path, pattern)))
-        self.cubes: List[np.ndarray] = [
-            load_hsi(
+
+        def _load(f: str) -> np.ndarray:
+            return load_hsi(
                 f,
                 mat_key=mat_key,
                 normalization=normalization,
                 max_val=global_max,
                 min_val=global_min,
             )
-            for f in self.files
-        ]
+
+        # Order-preserving threaded load: scipy's .mat read (fread + zlib
+        # inflate) releases the GIL, so up-front dataset load scales with
+        # host cores (TPU-VM hosts have dozens; the reference loads serially,
+        # model.py:241-251). Serial fallback below 2 files or 2 cores.
+        workers = min(8, len(self.files), os.cpu_count() or 1)
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                self.cubes: List[np.ndarray] = list(pool.map(_load, self.files))
+        else:
+            self.cubes = [_load(f) for f in self.files]
         # (H, W, C) per cube; LazyCubeStore fills this from headers instead.
         self.shapes: List[tuple] = [c.shape for c in self.cubes]
 

@@ -26,6 +26,28 @@ def test_store_loads_sorted(tmp_path, rng):
     assert all(c.dtype == np.float32 for c in store.cubes)
 
 
+def test_store_threaded_load_matches_serial(tmp_path, rng, monkeypatch):
+    """Threaded up-front load (multi-core hosts) must be order-preserving and
+    bit-identical to the serial path (divide-by-max is per-cube, PARITY #1 —
+    no cross-file coupling to race on)."""
+    import sshslie_tpu.data.datasets as ds
+
+    d = tmp_path / "cubes"
+    d.mkdir()
+    for i in range(5):
+        sio.savemat(d / f"c{i}.mat",
+                    {"data": (rng.rand(24, 24, 4) * 4000).astype(np.float32)})
+    kw = dict(normalization="global_normalization", global_min=0.0,
+              global_max=4095.0)
+    monkeypatch.setattr(ds.os, "cpu_count", lambda: 1)
+    serial = CubeStore(str(d), **kw)
+    monkeypatch.setattr(ds.os, "cpu_count", lambda: 4)
+    threaded = CubeStore(str(d), **kw)
+    assert threaded.files == serial.files
+    for a, b in zip(threaded.cubes, serial.cubes):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_sampler_epoch_arithmetic(tmp_path, rng):
     store = _store(tmp_path, rng, n=5)
     s = PatchSampler(store, batch_size=2, patch_size=16, seed=0)
