@@ -96,3 +96,37 @@ def fetch_experiment_data(name: str, yaml_path: str, base_dir: str = "") -> Expe
 
 def list_experiments(yaml_path: str) -> List[str]:
     return load_registry(yaml_path).names()
+
+
+def resolve_cli_experiment(args) -> None:
+    """Shared ``--experiment``/``--registry`` handling for the viz and
+    inspect-spectra CLIs (the MATLAB workflow was
+    ``drag3(fetchExperimentData('name'))``, drag_expCustom.m): prepend the
+    experiment's captures to ``args.cube`` and fill ``wave_start``,
+    ``wave_end``, and ``mat_key`` where the command line left them unset.
+    Mutates ``args`` in place; no-op without ``args.experiment``.
+    """
+    if not getattr(args, "experiment", None):
+        if args.wave_start is None or args.wave_end is None:
+            raise SystemExit(
+                "--wave_start/--wave_end are required (or provide "
+                "--experiment with wave_start_nm/wave_end_nm in the registry)"
+            )
+        if not args.cube:
+            raise SystemExit("at least one --cube is required")
+        args.mat_key = args.mat_key or "data"
+        return
+    exp = fetch_experiment_data(
+        args.experiment, args.registry, base_dir=getattr(args, "base_dir", "")
+    )
+    args.cube = list(exp.captures) + list(args.cube or [])
+    if args.wave_start is None:
+        args.wave_start = exp.wave_start_nm
+    if args.wave_end is None:
+        args.wave_end = exp.wave_end_nm
+    if args.wave_start is None or args.wave_end is None:
+        raise SystemExit(
+            f"experiment {exp.name!r} declares no wave_start_nm/wave_end_nm; "
+            "pass --wave_start/--wave_end explicitly"
+        )
+    args.mat_key = args.mat_key or exp.mat_key

@@ -144,10 +144,19 @@ def main(argv=None):
     ap = argparse.ArgumentParser(
         description="Inspect windowed-mean spectra at (draggable) probe points."
     )
-    ap.add_argument("--cube", action="append", required=True,
+    ap.add_argument("--cube", action="append", default=[],
                     help="'Label=path.mat' or bare path; repeatable")
-    ap.add_argument("--wave_start", type=float, required=True)
-    ap.add_argument("--wave_end", type=float, required=True)
+    ap.add_argument("--experiment", default="",
+                    help="experiment name from --registry; its captures are "
+                         "prepended to --cube and its wavelength range fills "
+                         "unset --wave_start/--wave_end "
+                         "(drag_expCustom.m + fetchExperimentData.m)")
+    ap.add_argument("--registry", default="experiments.yml",
+                    help="experiments YAML (see sshslie_tpu/experiments.py)")
+    ap.add_argument("--base_dir", default="",
+                    help="prefix for the registry's capture paths")
+    ap.add_argument("--wave_start", type=float, default=None)
+    ap.add_argument("--wave_end", type=float, default=None)
     ap.add_argument("--point", action="append", default=[],
                     help="'x,y' initial probe; repeatable (default one at 10,10)")
     ap.add_argument("--window", type=int, default=5)
@@ -156,8 +165,11 @@ def main(argv=None):
     ap.add_argument("--normalization", default="zeroOne")
     ap.add_argument("--save", default="",
                     help="write a static PNG instead of opening a window (headless)")
-    ap.add_argument("--mat_key", default="data")
+    ap.add_argument("--mat_key", default="")
     args = ap.parse_args(argv)
+    from sshslie_tpu.experiments import resolve_cli_experiment
+
+    resolve_cli_experiment(args)
 
     if args.save:
         import matplotlib

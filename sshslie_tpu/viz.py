@@ -274,11 +274,19 @@ def main(argv=None):
     from sshslie_tpu.utils.io_hsi import load_cube_specs
 
     ap = argparse.ArgumentParser(description="Export false/true-color composites.")
-    ap.add_argument("--cube", action="append", required=True,
+    ap.add_argument("--cube", action="append", default=[],
                     help="'Label=path.mat' or bare path; repeatable")
+    ap.add_argument("--experiment", default="",
+                    help="experiment name from --registry; its captures are "
+                         "prepended to --cube and its wavelength range fills "
+                         "unset --wave_start/--wave_end (fetchExperimentData.m)")
+    ap.add_argument("--registry", default="experiments.yml",
+                    help="experiments YAML (see sshslie_tpu/experiments.py)")
+    ap.add_argument("--base_dir", default="",
+                    help="prefix for the registry's capture paths")
     ap.add_argument("--out", required=True, help="output PNG (single cube) or directory")
-    ap.add_argument("--wave_start", type=float, required=True)
-    ap.add_argument("--wave_end", type=float, required=True)
+    ap.add_argument("--wave_start", type=float, default=None)
+    ap.add_argument("--wave_end", type=float, default=None)
     ap.add_argument("--preset", default="indoor", choices=("indoor", "jyu", "true"))
     ap.add_argument("--normalization", default="zeroOne",
                     choices=("none", "zeroOne", "divideMax", "divideGlobalMax",
@@ -292,8 +300,11 @@ def main(argv=None):
                     help="'x,y' probe marker; repeatable")
     ap.add_argument("--grid", action="store_true",
                     help="multiple cubes: one comparison grid instead of one PNG each")
-    ap.add_argument("--mat_key", default="data")
+    ap.add_argument("--mat_key", default="")
     args = ap.parse_args(argv)
+    from sshslie_tpu.experiments import resolve_cli_experiment
+
+    resolve_cli_experiment(args)
 
     targets = {"indoor": FALSE_COLOR_INDOOR, "jyu": FALSE_COLOR_JYU,
                "true": TRUE_COLOR}[args.preset]

@@ -135,3 +135,41 @@ def test_inspect_spectra_cli_headless(tmp_path, rng):
     assert out.exists()
     specs = insp.spectra()
     assert len(specs["C"]) == 2 and specs["C"][0].shape == (8,)
+
+
+def test_viz_cli_experiment_registry(tmp_path, rng):
+    """--experiment expands registry captures and supplies the wavelength
+    range, mirroring the MATLAB drag_expCustom.m + fetchExperimentData.m
+    workflow; explicit flags still win."""
+    import scipy.io as sio
+    import yaml
+
+    from sshslie_tpu.viz import main as viz_main
+
+    for name in ("s1", "s2"):
+        sio.savemat(tmp_path / f"{name}.mat",
+                    {"data": (rng.rand(16, 16, 12) * 900).astype(np.float32)})
+    reg = tmp_path / "experiments.yml"
+    reg.write_text(yaml.safe_dump({
+        "demo": {
+            "description": "two synthetic captures",
+            "wave_start_nm": 414.6,
+            "wave_end_nm": 985.0,
+            "captures": ["s1.mat", "s2.mat"],
+        }
+    }))
+
+    out = tmp_path / "figs"
+    written = viz_main(["--experiment", "demo", "--registry", str(reg),
+                        "--base_dir", str(tmp_path), "--out", str(out)])
+    assert len(written) == 2
+    assert (out / "s1.png").exists() and (out / "s2.png").exists()
+
+    # no cubes and no experiment → actionable exit, not a stack trace
+    import pytest
+
+    with pytest.raises(SystemExit):
+        viz_main(["--out", str(out), "--wave_start", "414.6",
+                  "--wave_end", "985.0"])
+    with pytest.raises(SystemExit):
+        viz_main(["--cube", str(tmp_path / "s1.mat"), "--out", str(out)])
