@@ -123,7 +123,11 @@ class LazyCubeStore(CubeStore):
         self.cache_size = max(int(cache_size), 1)
         # OrderedDict doubles as the LRU order: move_to_end on hit, popitem
         # (FIFO side) to evict — O(1) where a list.remove scan is O(n).
+        # The lock makes the store safe to share across streams (e.g. a
+        # Prefetcher worker and the main thread): unguarded, a popitem
+        # racing a move_to_end KeyErrors mid-training.
         self._cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self._cache_lock = threading.Lock()
         self.load_count = 0  # observability: total disk loads incl. re-loads
         self.shapes: List[tuple] = []
         for f in self.files:
@@ -141,7 +145,6 @@ class LazyCubeStore(CubeStore):
                     self.shapes.append(tuple(reversed(fh[mat_key].shape)))
 
     def _load(self, idx: int) -> np.ndarray:
-        self.load_count += 1
         return load_hsi(self.files[idx], **self._load_kwargs)
 
     def __len__(self) -> int:
@@ -150,13 +153,18 @@ class LazyCubeStore(CubeStore):
     def __getitem__(self, idx: int) -> np.ndarray:
         if idx < 0:
             idx += len(self)
-        if idx in self._cache:
-            self._cache.move_to_end(idx)
-            return self._cache[idx]
+        with self._cache_lock:
+            if idx in self._cache:
+                self._cache.move_to_end(idx)
+                return self._cache[idx]
+            self.load_count += 1
+        # Disk read outside the lock — concurrent misses may double-load a
+        # cube (benign: last writer wins), but never serialize on I/O.
         cube = self._load(idx)
-        self._cache[idx] = cube
-        while len(self._cache) > self.cache_size:
-            self._cache.popitem(last=False)
+        with self._cache_lock:
+            self._cache[idx] = cube
+            while len(self._cache) > self.cache_size:
+                self._cache.popitem(last=False)
         return cube
 
     @property
@@ -272,12 +280,28 @@ class Prefetcher:
         self._queue: queue.Queue = queue.Queue(maxsize=max(depth, 1))
         self._sharding = sharding
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
+        self._exhausted = False
         if process_slice is not None and mesh is None:
             raise ValueError("process_slice requires a mesh")
+
+        def put(item) -> bool:
+            # Bounded-wait put so an abandoned consumer (step raised, epoch
+            # loop unwound) can release the worker via close() instead of
+            # leaving it blocked forever holding device-resident batches.
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch in iterator:
+                    if self._stop.is_set():
+                        return
                     if process_slice is not None:
                         from sshslie_tpu.parallel.distributed import (
                             host_local_batch_to_global,
@@ -291,11 +315,12 @@ class Prefetcher:
                         batch = jax.device_put(batch, self._sharding)
                     else:
                         batch = jax.device_put(batch)
-                    self._queue.put(batch)
+                    if not put(batch):
+                        return
             except BaseException as e:  # surface in consumer thread
                 self._err = e
             finally:
-                self._queue.put(self._DONE)
+                put(self._DONE)
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
@@ -304,12 +329,36 @@ class Prefetcher:
         return self
 
     def __next__(self):
+        if self._exhausted:
+            # The single _DONE sentinel was already consumed; without this a
+            # second next() would block forever on the empty queue.
+            raise StopIteration
         item = self._queue.get()
         if item is self._DONE:
+            self._exhausted = True
             if self._err is not None:
                 raise self._err
             raise StopIteration
         return item
+
+    def close(self) -> None:
+        """Release the worker and drop any staged batches. Idempotent; call
+        from a finally around the consuming loop (Trainer.fit does)."""
+        self._stop.set()
+        while True:  # drain so a put()-blocked worker can observe _stop
+            try:
+                self._queue.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=5.0)
+        self._exhausted = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
 
 def store_from_config(cfg, data_path: str, pattern: str = "*.mat") -> CubeStore:

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import time
+import weakref
 from typing import Any, Dict, Optional
 
 import jax
@@ -225,6 +226,27 @@ def _save_outputs(
         save_hsi(os.path.join(artifact_dir, stem + "_I_delta.mat"), np.asarray(I_delta))
 
 
+# Inferencers memoized per model so repeated evals reuse one jitted fn: jit
+# caches on the function object, and a fresh ``jax.jit(lambda ...)`` per eval
+# epoch would re-trace every time (and fully recompile on backends where the
+# persistent cache is policy-disabled, e.g. XLA:CPU). Keyed weakly on the
+# flax module (hash/eq are config-based, so equal-config trainers share).
+_INFERENCER_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _device_params(params):
+    """Upload a host-side params tree once per eval/test call.
+
+    Async eval passes a host-numpy snapshot and ``load_checkpoint`` restores
+    numpy; jit does not cache host arguments, so without this every *file*
+    would re-transfer the full parameter tree (seconds each over the axon
+    relay at ~40 MB/s)."""
+    leaves = jax.tree_util.tree_leaves(params)
+    if leaves and not isinstance(leaves[0], jax.Array):
+        return jax.device_put(params)
+    return params
+
+
 def _make_inferencer(trainer):
     """Inferencer selection for eval/test.
 
@@ -239,9 +261,18 @@ def _make_inferencer(trainer):
     mesh = getattr(trainer, "mesh", None)
     if mesh is not None and getattr(cfg, "eval_sharded", False):
         if getattr(cfg, "eval_shard_mode", "spatial") == "band":
-            return BandShardedInferencer(trainer.model, mesh, cfg.data_axis)
-        return ShardedInferencer(trainer.model, mesh, cfg.data_axis)
-    return Inferencer(trainer.model, cfg.eval_pad_multiple)
+            key = ("band", mesh, cfg.data_axis)
+            make = lambda: BandShardedInferencer(trainer.model, mesh, cfg.data_axis)  # noqa: E731
+        else:
+            key = ("spatial", mesh, cfg.data_axis)
+            make = lambda: ShardedInferencer(trainer.model, mesh, cfg.data_axis)  # noqa: E731
+    else:
+        key = ("plain", cfg.eval_pad_multiple)
+        make = lambda: Inferencer(trainer.model, cfg.eval_pad_multiple)  # noqa: E731
+    per_model = _INFERENCER_CACHE.setdefault(trainer.model, {})
+    if key not in per_model:
+        per_model[key] = make()
+    return per_model[key]
 
 
 def evaluate_model(
@@ -264,10 +295,11 @@ def evaluate_model(
     epoch_dir = os.path.join(eval_result_dir, f"epoch_{epoch}")
     os.makedirs(epoch_dir, exist_ok=True)
     infer = _make_inferencer(trainer)
+    params = _device_params(trainer.state.params)
     with _OverlappedSaver() as saver:
         for idx, cube in enumerate(eval_store.cubes):
             filename = os.path.basename(eval_store.files[idx])
-            R, I, Id, S = infer(trainer.state.params, cube)
+            R, I, Id, S = infer(params, cube)
             saver.submit(
                 _save_outputs, cfg, epoch_dir, filename, S, R, I, Id,
                 cfg.save_reflectance, cfg.save_illumination, cfg.save_i_delta,
@@ -306,13 +338,14 @@ def test_model(
     trainer.state = trainer.state.replace(params=params, opt_state=opt_state)
     os.makedirs(save_dir, exist_ok=True)
     infer = _make_inferencer(trainer)
+    params = _device_params(trainer.state.params)
     total_run_time = 0.0
     with _OverlappedSaver() as saver:
         for idx, cube in enumerate(test_store.cubes):
             filename = os.path.basename(test_store.files[idx])
             print(f"Processing {filename}")
             start = time.time()
-            R, I, Id, S = infer(trainer.state.params, cube)
+            R, I, Id, S = infer(params, cube)
             # True sync on directly-attached TPUs; on the axon relay this can
             # return early and per-file times read low — use bench.py's
             # chain-differenced numbers for trustworthy relay measurements.

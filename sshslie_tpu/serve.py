@@ -137,11 +137,19 @@ class _MicroBatcher:
                 for f in futs:
                     f.set_exception(e)
 
-    def close(self):
+    def close(self, timeout: float = 60.0) -> bool:
+        """Stop the loop thread; returns True when it fully drained. The
+        generous default timeout covers an in-flight cold-bucket XLA compile
+        (20-40 s) — a 5 s join would return with the batch still running."""
         with self._cv:
             self._closed = True
             self._cv.notify()
-        self._thread.join(timeout=5)
+        self._thread.join(timeout=timeout)
+        if self._thread.is_alive():
+            print("warning: micro-batcher still draining after "
+                  f"{timeout:.0f}s (in-flight batch/compile)")
+            return False
+        return True
 
 
 class EnhanceService:
@@ -316,13 +324,19 @@ class EnhanceService:
             if (bh, bw) in self._buckets:
                 continue
             if self.batcher is not None:
-                b = 1
-                while b <= self.batcher.max_batch:
+                # Runtime batch dims are min(round_up_pow2(n), max_batch):
+                # every power of two below the cap, plus the cap itself
+                # (which need not be a power of two) — warm exactly that set.
+                sizes, b = [], 1
+                while b < self.batcher.max_batch:
+                    sizes.append(b)
+                    b *= 2
+                sizes.append(self.batcher.max_batch)
+                for b in sizes:
                     dummy = jnp.zeros((b, bh, bw, self.channels), jnp.float32)
                     with self._device_lock:
                         _, _, _, S = self._batched_fn(self.params, dummy)
                         jax.block_until_ready(S)
-                    b *= 2
             else:
                 dummy = np.zeros((bh, bw, self.channels), np.float32)
                 with self._device_lock:
@@ -526,6 +540,10 @@ class EnhanceServer:
     def shutdown(self) -> None:
         self.httpd.shutdown()
         self.httpd.server_close()
+        if self.service.batcher is not None:
+            # Without this the batcher loop thread outlives the server and
+            # keeps the service's on-device params pinned via _run_batch.
+            self.service.batcher.close()
         if self._thread:
             self._thread.join(timeout=5)
 

@@ -846,25 +846,28 @@ class Trainer:
                         from sshslie_tpu.parallel.distributed import process_batch_slice
 
                         proc_slice = process_batch_slice(cfg.batch_size)
-                    batches = Prefetcher(
+                    # Context manager: if step() raises, close() releases the
+                    # put()-blocked worker instead of leaking it (and its
+                    # device-resident staged batches) for the process life.
+                    with Prefetcher(
                         sampler.epoch(), sharding=sharding, depth=cfg.prefetch_batches,
                         process_slice=proc_slice, mesh=self.mesh,
                         data_axis=cfg.data_axis, space_axis=cfg.space_axis,
-                    )
-                    for batch_id, batch in enumerate(batches):
-                        self.state, terms = step(self.state, batch, jnp.float32(lr))
-                        epoch_sums = (
-                            terms
-                            if epoch_sums is None
-                            else jax.tree.map(jnp.add, epoch_sums, terms)
-                        )
-                        count += 1
-                        if cfg.log_every_step and (batch_id + 1) % cfg.log_every_step == 0:
-                            print(
-                                f"Epoch [{epoch+1}/{cfg.epoch}] "
-                                f"Batch [{batch_id+1}/{num_batches}] "
-                                f"Loss: {float(terms['total_loss']):.6f}"
+                    ) as batches:
+                        for batch_id, batch in enumerate(batches):
+                            self.state, terms = step(self.state, batch, jnp.float32(lr))
+                            epoch_sums = (
+                                terms
+                                if epoch_sums is None
+                                else jax.tree.map(jnp.add, epoch_sums, terms)
                             )
+                            count += 1
+                            if cfg.log_every_step and (batch_id + 1) % cfg.log_every_step == 0:
+                                print(
+                                    f"Epoch [{epoch+1}/{cfg.epoch}] "
+                                    f"Batch [{batch_id+1}/{num_batches}] "
+                                    f"Loss: {float(terms['total_loss']):.6f}"
+                                )
 
                 # Single device→host sync per epoch.
                 host_sums = (

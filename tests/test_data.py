@@ -89,6 +89,32 @@ def test_prefetcher_delivers_all(tmp_path, rng):
     assert all(g.shape == (2, 16, 16, 6) for g in got)
 
 
+def test_prefetcher_close_releases_blocked_worker():
+    """An abandoned consumer (step raised mid-epoch) must be able to release
+    the worker via close(); unguarded, the worker blocks in queue.put()
+    forever, pinning staged device batches."""
+    def stream():
+        for _ in range(100):
+            yield np.zeros((1, 4, 4, 2), np.float32)
+
+    pf = Prefetcher(stream(), depth=1)
+    first = next(pf)  # worker now blocked staging further batches
+    assert first.shape == (1, 4, 4, 2)
+    pf.close()
+    assert not pf._thread.is_alive()
+    with pytest.raises(StopIteration):  # closed ⇒ exhausted, not hung
+        next(pf)
+
+
+def test_prefetcher_next_after_exhaustion_raises():
+    """A second next() after StopIteration must raise again, not block
+    forever on the empty queue (the single _DONE sentinel is consumed)."""
+    pf = Prefetcher(iter([np.zeros((1, 4, 4, 2), np.float32)]), depth=1)
+    assert len(list(pf)) == 1
+    with pytest.raises(StopIteration):
+        next(pf)
+
+
 def test_prefetcher_propagates_errors():
     def bad():
         yield np.zeros((1, 4, 4, 2), np.float32)

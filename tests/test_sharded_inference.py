@@ -163,3 +163,20 @@ def test_evaluate_model_band_sharded_optin(tmp_path, rng):
     a = sio.loadmat(str(out_s / "epoch_1" / "e0.mat"))["data"]
     b = sio.loadmat(str(out_b / "epoch_1" / "e0.mat"))["data"]
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-3)
+
+
+def test_make_inferencer_memoized(rng):
+    """Repeated evals must reuse one jitted Inferencer — jit caches on the
+    function object, so a fresh lambda per eval epoch re-traces (and fully
+    recompiles where the persistent cache is off). Async-eval snapshot views
+    share the trainer's model and must hit the same cache entry."""
+    from sshslie_tpu.config import Config
+    from sshslie_tpu.evaluate import _make_inferencer
+    from sshslie_tpu.train import Trainer, _SnapshotView
+
+    cfg = Config(channels=4, patch_size=8, batch_size=1, attention_impl="xla")
+    trainer = Trainer(cfg, channels=4)
+    inf1 = _make_inferencer(trainer)
+    assert _make_inferencer(trainer) is inf1
+    view = _SnapshotView(trainer, jax.device_get(trainer.state.params))
+    assert _make_inferencer(view) is inf1
