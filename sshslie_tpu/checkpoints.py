@@ -77,6 +77,12 @@ def load_checkpoint(
             "checkpoint (keys: "
             f"{sorted(raw) if isinstance(raw, dict) else type(raw).__name__})"
         )
+    if "opt_state" not in raw or "epoch" not in raw:
+        raise ValueError(
+            f"{path} is a params-only file (no optimizer state/epoch) — it "
+            "can warm-start via the pretrained_model config key, but cannot "
+            "resume training"
+        )
     params = serialization.from_state_dict(params_template, raw["params"])
     opt_state = serialization.from_state_dict(opt_state_template, raw["opt_state"])
     epoch = int(np.asarray(raw["epoch"]))

@@ -256,6 +256,28 @@ class PatchSampler:
         for batch_id in range(self.num_batches):
             yield self.sample_batch(batch_id)
 
+    def skip_epochs(self, n: int) -> None:
+        """Fast-forward the RNG past ``n`` epochs without loading pixels.
+
+        Resume support: a resumed run must draw epoch k's crops, not restart
+        at epoch 0's (the fused pipeline gets this for free by folding on
+        the absolute step id). Generator.integers consumes a bound-dependent
+        amount of state (Lemire rejection), so the skip replays the exact
+        call sequence of ``sample_batch`` — same bounds, shapes only.
+        """
+        b, p = self.batch_size, self.patch_size
+        shapes = getattr(self.store, "shapes", None)
+        if shapes is None:
+            shapes = [c.shape for c in self.store.cubes]
+        n_cubes = len(self.store)
+        for _ in range(max(int(n), 0)):
+            for batch_id in range(self.num_batches):
+                for i in range(b):
+                    h, w, *_rest = shapes[(batch_id * b + i) % n_cubes]
+                    self.rng.integers(0, max(h - p, 1))
+                    self.rng.integers(0, max(w - p, 1))
+                    self.rng.integers(0, 8)
+
 
 class Prefetcher:
     """Background-thread pipeline staging host batches onto the device.

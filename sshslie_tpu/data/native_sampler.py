@@ -133,6 +133,12 @@ class NativePatchSampler:
         for batch_id in range(self.num_batches):
             yield self.sample_batch(batch_id, epoch=e)
 
+    def skip_epochs(self, n: int) -> None:
+        """Resume support: the stream is keyed on (seed, epoch, batch_id),
+        so skipping is just advancing the epoch counter — a resumed run
+        replays exactly the batches the uninterrupted run would have drawn."""
+        self._epoch_counter += max(int(n), 0)
+
 
 def make_sampler(store: CubeStore, batch_size: int, patch_size: int,
                  seed: int = 41, prefer_native: bool = True,

@@ -127,7 +127,16 @@ class MLflowShim:
             try:
                 import mlflow  # type: ignore
 
-                self._backend = mlflow
+                # A module that merely *imports* as 'mlflow' is not enough —
+                # a namespace collision or broken install would otherwise
+                # crash mid-run on the first missing attribute.
+                if all(hasattr(mlflow, a) for a in (
+                    "set_experiment", "start_run", "log_param", "log_metric",
+                    "log_artifact",
+                )):
+                    self._backend = mlflow
+                else:
+                    self._backend = LocalRunTracker(local_root)
             except ImportError:
                 self._backend = LocalRunTracker(local_root)
 

@@ -181,14 +181,25 @@ def total_loss(
     c_loss_fourier, c_loss_spectral_cons, alpha_i_smooth_low,
     alpha_i_smooth_delta. Returns (scalar, per-term dict of on-device scalars).
     """
-    L_reconstruction = reconstruction_loss(R_low, I_low, input_low)
+    f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
+
+    # Each term is cast to float32 (no-op under f32 training): with
+    # precision=bfloat16 the model outputs are bf16 and the reductions would
+    # otherwise return bf16 scalars that the epoch loop keeps summing at an
+    # 8-bit mantissa — the logged per-term averages drift ~1% while training
+    # itself is fine. The cast is differentiable; grads stay in the params'
+    # dtype.
+    L_reconstruction = f32(reconstruction_loss(R_low, I_low, input_low))
     L_I_smooth_low, L_R_fidelity = structure_aware_loss(
         R_low, I_low, R_enh,
         alpha=coeffs["alpha_i_smooth_low"], beta=0.5, lambda_I=1.0, lambda_R=1.0,
     )
-    L_I_smooth_delta = smooth_loss(I_delta, R_low, alpha=coeffs["alpha_i_smooth_delta"])
-    L_fourier = fourier_spectrum_loss(input_low, S, cutoff=0.1, loss_type="l1")
-    L_spectral_cons = spectral_smoothness_loss(S, loss_type="l1")
+    L_I_smooth_low, L_R_fidelity = f32(L_I_smooth_low), f32(L_R_fidelity)
+    L_I_smooth_delta = f32(
+        smooth_loss(I_delta, R_low, alpha=coeffs["alpha_i_smooth_delta"])
+    )
+    L_fourier = f32(fourier_spectrum_loss(input_low, S, cutoff=0.1, loss_type="l1"))
+    L_spectral_cons = f32(spectral_smoothness_loss(S, loss_type="l1"))
 
     total = (
         coeffs["c_loss_reconstruction"] * L_reconstruction

@@ -31,8 +31,23 @@ def initialize_distributed(
         # Auto-detection path (TPU pod metadata) or single-process fallback.
         try:
             jax.distributed.initialize()
-        except Exception:
-            pass  # single process — nothing to do
+        except Exception as e:
+            # In a genuine pod environment a failed init must NOT degrade to
+            # single-process mode: other hosts that did initialize would
+            # disagree on process_count() and hang in the first collective
+            # (or shard data inconsistently) with the root cause discarded.
+            import os
+
+            pod_env = [k for k in (
+                "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+            ) if os.environ.get(k)]
+            if pod_env:
+                raise RuntimeError(
+                    "jax.distributed.initialize() failed although a pod "
+                    f"environment is present ({', '.join(pod_env)} set)"
+                ) from e
+            # single process — nothing to do
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -42,7 +42,17 @@ def make_mesh(
         # 2-D default data×space: the reference's workload trains at batch
         # 1-2 (config/config.yml:11), so a pure data mesh strands chips; the
         # second axis shards the patch height (spatial parallelism).
-        axis_names = ("data",) if len(shape) == 1 else ("data", "space")[: len(shape)]
+        if len(shape) > 2:
+            raise ValueError(
+                f"mesh_shape {mesh_shape!r} has {len(shape)} axes; the "
+                "framework shards batch ('data') and height ('space') only — "
+                "use a 1-D or 2-D shape, or pass axis_names explicitly"
+            )
+        axis_names = ("data",) if len(shape) == 1 else ("data", "space")
+    elif len(axis_names) != len(shape):
+        raise ValueError(
+            f"axis_names {tuple(axis_names)} does not match mesh shape {shape}"
+        )
     devs = np.asarray(devices if devices is not None else jax.devices())
     n_needed = int(np.prod(shape))
     if n_needed > devs.size:

@@ -112,9 +112,17 @@ def make_optimizer() -> optax.GradientTransformation:
 
 
 def _zero_decom_grads(grads: Any) -> Any:
-    """Zero the DecompositionNet subtree (freeze; reference model.py:274-279)."""
+    """Zero the DecompositionNet subtree (freeze; reference model.py:274-279).
+
+    Preserves the container type: a FrozenDict in must come back frozen, or
+    optax's tree_map over (grads, opt_state) hits a pytree-structure
+    mismatch on the first frozen step under flax_return_frozendict."""
     if isinstance(grads, FrozenDict):
-        grads = grads.unfreeze()
+        return grads.copy(
+            {"decomposition_net": jax.tree.map(
+                jnp.zeros_like, grads["decomposition_net"]
+            )}
+        )
     grads = dict(grads)
     grads["decomposition_net"] = jax.tree.map(
         jnp.zeros_like, grads["decomposition_net"]
@@ -653,6 +661,11 @@ class Trainer:
                 train_store, cfg.batch_size, cfg.patch_size,
                 seed=cfg.seed_value, mode=cfg.sampler,
             )
+            if start_epoch > 0:
+                # Replay-exact resume for the host pipelines too: draw epoch
+                # k's patches, not a restart of epoch 0's (PARITY #19's
+                # same-config+seed ⇒ same-trajectory promise).
+                sampler.skip_epochs(start_epoch)
             # The three pipelines draw from different RNG streams (PARITY
             # #19); log the resolved choice so a run is reproducible from
             # its console log alone.
@@ -666,9 +679,21 @@ class Trainer:
         base_key = jax.random.PRNGKey(cfg.seed_value)
         sharding = None
         if self.mesh is not None:
+            from sshslie_tpu.parallel.mesh import shard_batch_size
+
+            # Fail at fit start with the intended message — otherwise the
+            # first non-divisible batch dies steps later with a low-level
+            # GSPMD/device_put error inside the prefetch thread.
+            shard_batch_size(cfg.batch_size, self.mesh, cfg.data_axis)
             if cfg.space_axis:
                 from sshslie_tpu.parallel.mesh import batch_space_sharding
 
+                n_sp = self.mesh.shape[cfg.space_axis]
+                if cfg.patch_size % n_sp != 0:
+                    raise ValueError(
+                        f"patch_size {cfg.patch_size} not divisible by the "
+                        f"'{cfg.space_axis}' mesh axis ({n_sp} shards)"
+                    )
                 sharding = batch_space_sharding(
                     self.mesh, cfg.data_axis, cfg.space_axis
                 )
@@ -905,16 +930,21 @@ class Trainer:
                                     self, eval_store, eval_result_dir, epoch + 1, label_dir
                                 ),
                             )
-                    checkpoints.save_checkpoint(
-                        checkpoints.epoch_path(ckpt_dir, epoch + 1),
-                        self.state.params, self.state.opt_state, epoch + 1,
-                    )
-                    checkpoints.save_checkpoint(
-                        checkpoints.latest_path(ckpt_dir),
-                        self.state.params, self.state.opt_state, epoch + 1,
-                    )
-                    if cfg.checkpoint_keep > 0:
-                        checkpoints.prune_checkpoints(ckpt_dir, cfg.checkpoint_keep)
+                    if jax.process_index() == 0:
+                        # Single-writer: every process holds identical
+                        # replicated state, but concurrent writes to a shared
+                        # checkpoint dir would tear the .tmp files and race
+                        # prune's os.remove.
+                        checkpoints.save_checkpoint(
+                            checkpoints.epoch_path(ckpt_dir, epoch + 1),
+                            self.state.params, self.state.opt_state, epoch + 1,
+                        )
+                        checkpoints.save_checkpoint(
+                            checkpoints.latest_path(ckpt_dir),
+                            self.state.params, self.state.opt_state, epoch + 1,
+                        )
+                        if cfg.checkpoint_keep > 0:
+                            checkpoints.prune_checkpoints(ckpt_dir, cfg.checkpoint_keep)
 
                 if profiling:
                     jax.profiler.stop_trace()
@@ -929,10 +959,11 @@ class Trainer:
                     _drain_evals(block=False)
 
                 if self._stop_requested:
-                    checkpoints.save_checkpoint(
-                        checkpoints.latest_path(ckpt_dir),
-                        self.state.params, self.state.opt_state, epoch + 1,
-                    )
+                    if jax.process_index() == 0:
+                        checkpoints.save_checkpoint(
+                            checkpoints.latest_path(ckpt_dir),
+                            self.state.params, self.state.opt_state, epoch + 1,
+                        )
                     print(f"Preemption checkpoint written at epoch {epoch+1}; "
                           "stopping (resume with resume: true)")
                     break
@@ -942,6 +973,14 @@ class Trainer:
             # exception must not leave the process uninterruptible.
             for sig, handler in prev_handlers.items():
                 signal.signal(sig, handler)
+            if profiling:
+                # A raise during the traced first epoch must still flush the
+                # trace (and free the profiler for a same-process retry).
+                try:
+                    jax.profiler.stop_trace()
+                    print(f"Profiler trace written to {cfg.profile_dir}")
+                except Exception as e:  # noqa: BLE001
+                    print(f"profiler stop failed: {e}")
             # Drain async evals here (not after the try): if training raised,
             # pending futures would otherwise be dropped silently and the
             # non-daemon worker thread would delay process exit. An eval

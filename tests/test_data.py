@@ -220,3 +220,40 @@ class TestLazyCubeStore:
         assert store.shapes == [(12, 10, 3)]
         assert store.load_count == 0  # shape came from the HDF5 header
         np.testing.assert_array_equal(store[0], cube)
+
+
+def test_sampler_skip_epochs_replays_exactly(tmp_path, rng):
+    """Resume must draw epoch k's patches: skip_epochs(k) on a fresh sampler
+    lands the RNG exactly where an uninterrupted run's epoch k starts (the
+    integer draws are bound-dependent, so the skip replays the call
+    sequence)."""
+    store = _store(tmp_path, rng, n=4)
+    full = PatchSampler(store, 2, 16, seed=9)
+    for _ in range(2):  # epochs 0 and 1
+        list(full.epoch())
+    expected = list(full.epoch())  # epoch 2
+
+    resumed = PatchSampler(store, 2, 16, seed=9)
+    resumed.skip_epochs(2)
+    got = list(resumed.epoch())
+    for a, b in zip(got, expected):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_native_sampler_skip_epochs(tmp_path, rng):
+    """Native sampler resume: the stream is keyed on (seed, epoch, batch),
+    so skip_epochs must advance the epoch counter."""
+    from sshslie_tpu.data.native_sampler import NativePatchSampler, _load_lib
+
+    if _load_lib() is None:
+        pytest.skip("native sampler library not built")
+    store = _store(tmp_path, rng, n=4)
+    full = NativePatchSampler(store, 2, 16, seed=9)
+    for _ in range(2):
+        list(full.epoch())
+    expected = list(full.epoch())
+    resumed = NativePatchSampler(store, 2, 16, seed=9)
+    resumed.skip_epochs(2)
+    got = list(resumed.epoch())
+    for a, b in zip(got, expected):
+        np.testing.assert_array_equal(a, b)

@@ -13,6 +13,22 @@ from sshslie_tpu.config import load_config
 from tests.conftest import make_synthetic_dataset
 
 
+def _entry():
+    """Import the repo-root main.py by file path. A plain ``import main``
+    is order-dependent: the reference-parity tests sys.path.insert(0) the
+    reference checkout, which ships its own ``main.py`` — running those
+    first would make ``import main`` execute the reference's entry point."""
+    import importlib.util
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "sshslie_entry_main", os.path.join(root, "main.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 @pytest.fixture
 def workspace(tmp_path, rng):
     cwd = os.getcwd()
@@ -38,7 +54,7 @@ def _write_cfg(path, **kw):
 
 
 def test_train_and_test_end_to_end(workspace):
-    import main as entry
+    entry = _entry()
 
     cfg = load_config(_write_cfg("cfg.yml"))
     entry.main(cfg)
@@ -75,7 +91,7 @@ def test_train_and_test_end_to_end(workspace):
 
 
 def test_train_phase_only(workspace):
-    import main as entry
+    entry = _entry()
 
     cfg = load_config(_write_cfg("cfg3.yml", phase="train", model_name="tr",
                                  epoch=1, eval_every_epoch=1))
@@ -87,7 +103,7 @@ def test_train_phase_only(workspace):
 def test_train_and_test_on_mesh_through_main(workspace):
     """The full CLI path with mesh_shape: main builds the mesh, Trainer runs
     the dp-sharded step, eval/test still produce outputs + metrics."""
-    import main as entry
+    entry = _entry()
 
     # dp×sp 2×4 at the reference's batch-2 regime (the workspace has only 2
     # train cubes, so batch 2 → 1 real step per epoch; batch 8 would round
@@ -112,7 +128,7 @@ def test_train_and_test_on_mesh_through_main(workspace):
 def test_resume_through_main(workspace):
     """CLI resume glue: a second run with resume=true adopts the first run's
     timestamp (config discovery) and continues from its checkpoint epoch."""
-    import main as entry
+    entry = _entry()
 
     cfg1 = load_config(_write_cfg("cfg_r.yml", model_name="e2e_res", epoch=2,
                                   eval_every_epoch=2, phase="train"))

@@ -132,3 +132,44 @@ def test_fit_rejects_channel_mismatch(tmp_path, rng):
     trainer = Trainer(cfg, channels=9)
     with pytest.raises(ValueError, match="9 channels.*have 4"):
         trainer.fit(_store(tmp_path, rng), ckpt_dir=str(tmp_path / "ck"))
+
+
+def test_params_only_checkpoint_actionable_resume_error(tmp_path, tree):
+    """A params-only warm-start file copied over model_epoch_latest must fail
+    resume with guidance toward pretrained_model, not KeyError('opt_state')."""
+    from flax import serialization
+
+    p = tmp_path / "model_epoch_latest.ckpt"
+    p.write_bytes(serialization.msgpack_serialize(
+        {"params": serialization.to_state_dict(tree)}
+    ))
+    with pytest.raises(ValueError, match="params-only"):
+        checkpoints.load_checkpoint(str(p), tree, tree)
+    # ...while the warm-start path accepts exactly this file.
+    params, epoch = checkpoints.load_pretrained_params(str(p), tree)
+    assert epoch is None
+
+
+def test_fit_rejects_indivisible_batch_on_mesh(tmp_path, rng):
+    """batch_size not divisible by the data mesh axis fails at fit start
+    with the shard_batch_size message, not a GSPMD error in the prefetch
+    thread."""
+    from sshslie_tpu.config import Config
+    from sshslie_tpu.parallel.mesh import make_mesh
+    from sshslie_tpu.train import Trainer
+
+    cfg = Config(channels=4, patch_size=16, batch_size=3, epoch=1,
+                 fused_pipeline="off", attention_impl="xla")
+    cfg.finalize()
+    trainer = Trainer(cfg, channels=4, mesh=make_mesh("2"))
+    with pytest.raises(ValueError, match="not divisible by data-parallel"):
+        trainer.fit(_store(tmp_path, rng), ckpt_dir=str(tmp_path / "ck"))
+
+
+def test_make_mesh_rejects_3d_without_names():
+    from sshslie_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="1-D or 2-D"):
+        make_mesh("2x2x2")
+    with pytest.raises(ValueError, match="does not match"):
+        make_mesh("4x2", axis_names=("data",))

@@ -29,9 +29,17 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def ref_model_cls():
-    """Import the reference LowLightEnhance with optional deps stubbed."""
+    """Import the reference LowLightEnhance with optional deps stubbed.
+
+    Everything is undone afterwards: the stubs and the reference's
+    generically-named modules ('model', 'utils', ...) must not leak into
+    later test files — a leaked 'mlflow' stub (no set_experiment) breaks
+    MLflowShim, and the reference's own main.py would shadow ours."""
+    stubbed = []
     for name in ("mlflow", "torchinfo", "skimage", "skimage.metrics"):
-        sys.modules.setdefault(name, types.ModuleType(name))
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+            stubbed.append(name)
     sys.modules["torchinfo"].summary = lambda *a, **k: "stub"
     tm = types.ModuleType("torchmetrics")
     tmf = types.ModuleType("torchmetrics.functional")
@@ -39,15 +47,31 @@ def ref_model_cls():
     for fn in ("peak_signal_noise_ratio", "structural_similarity_index_measure",
                "spectral_angle_mapper"):
         setattr(tmi, fn, lambda *a, **k: None)
-    sys.modules.setdefault("torchmetrics", tm)
-    sys.modules.setdefault("torchmetrics.functional", tmf)
-    sys.modules.setdefault("torchmetrics.functional.image", tmi)
+    for name, mod in (("torchmetrics", tm), ("torchmetrics.functional", tmf),
+                      ("torchmetrics.functional.image", tmi)):
+        if name not in sys.modules:
+            sys.modules[name] = mod
+            stubbed.append(name)
     sys.modules["skimage.metrics"].peak_signal_noise_ratio = None
     sys.modules["skimage.metrics"].structural_similarity = None
+    pre_import = set(sys.modules)
     sys.path.insert(0, REFERENCE)
-    import model as ref_model  # noqa: F401
+    try:
+        import model as ref_model  # noqa: F401
 
-    return ref_model.LowLightEnhance
+        yield ref_model.LowLightEnhance
+    finally:
+        try:
+            sys.path.remove(REFERENCE)
+        except ValueError:
+            pass
+        for name in stubbed:
+            sys.modules.pop(name, None)
+        # Drop modules the reference import pulled in under generic names.
+        for name in set(sys.modules) - pre_import:
+            mod_file = getattr(sys.modules[name], "__file__", "") or ""
+            if mod_file.startswith(REFERENCE):
+                sys.modules.pop(name, None)
 
 
 def torch_to_flax_params(ref) -> dict:
