@@ -28,6 +28,8 @@ import numpy as np
 import scipy.io as sio
 import scipy.ndimage as ndi
 
+from sshslie_tpu.utils.io_hsi import load_hsi
+
 
 # ---------------------------------------------------------------------------
 # projections
@@ -49,6 +51,13 @@ def project_2d(cube: np.ndarray, method: str = "median", band: int = 0) -> np.nd
         # First left singular vector = PC-1 scores of the pixels.
         u, _, _ = np.linalg.svd(x, full_matrices=False)
         img = u[:, 0].reshape(h, w)
+        # SVD sign is data-dependent; anchor it to the mean projection so the
+        # low and GT cubes project with the same polarity — otherwise phase
+        # correlation runs on anti-correlated images and the shift is bogus.
+        mean_proj = cube.mean(axis=2)
+        if np.dot(img.ravel() - img.mean(),
+                  mean_proj.ravel() - mean_proj.mean()) < 0:
+            img = -img
         return _rescale01(img)
     raise ValueError(f"unknown projection method {method!r}")
 
@@ -300,8 +309,17 @@ def check_misregistration_hsi(
                          file_gt=os.path.relpath(f_gt, gt_dir),
                          proj_method=opts.proj_method)
         try:
-            low = np.asarray(sio.loadmat(f_low)[opts.mat_key], dtype=np.float64)
-            gt = np.asarray(sio.loadmat(f_gt)[opts.mat_key], dtype=np.float64)
+            # load_hsi (not raw loadmat): handles v7.3/HDF5 cubes too — the
+            # MATLAB original read those natively, and save_hsi auto-emits
+            # v7.3 for cubes ≥ 2 GiB.
+            low = np.asarray(
+                load_hsi(f_low, mat_key=opts.mat_key, normalization=None),
+                dtype=np.float64,
+            )
+            gt = np.asarray(
+                load_hsi(f_gt, mat_key=opts.mat_key, normalization=None),
+                dtype=np.float64,
+            )
             h = min(low.shape[0], gt.shape[0])
             w = min(low.shape[1], gt.shape[1])
             low = _resize_nearest_2d(low, (h, w))

@@ -40,12 +40,23 @@ from sshslie_tpu.utils.io_hsi import load_hsi
 DataRange = Union[None, float, Tuple[float, float]]
 
 
-def _apply_range(pred: jnp.ndarray, target: jnp.ndarray, data_range: DataRange):
-    """Resolve torchmetrics data_range semantics → (pred, target, range)."""
+def _apply_range(pred: jnp.ndarray, target: jnp.ndarray, data_range: DataRange,
+                 kind: str = "psnr", per_band: bool = False):
+    """Resolve torchmetrics data_range semantics → (pred, target, range).
+
+    ``data_range=None`` follows torchmetrics' per-metric inference: PSNR uses
+    the *target's* range, SSIM the larger of the two tensors' ranges.
+    ``per_band`` computes the (H, W)-reduced range per channel of an
+    (H, W, C) cube — the reference's bandwise loop calls torchmetrics once
+    per band, so each band infers its own range.
+    """
     if data_range is None:
-        rng = jnp.maximum(jnp.max(target), jnp.max(pred)) - jnp.minimum(
-            jnp.min(target), jnp.min(pred)
-        )
+        axes = (0, 1) if per_band else None
+        rng = jnp.max(target, axis=axes) - jnp.min(target, axis=axes)
+        if kind == "ssim":
+            rng = jnp.maximum(
+                rng, jnp.max(pred, axis=axes) - jnp.min(pred, axis=axes)
+            )
         return pred, target, rng
     if isinstance(data_range, (tuple, list)):
         lo, hi = data_range
@@ -59,7 +70,7 @@ def psnr(pred: jnp.ndarray, target: jnp.ndarray, data_range: DataRange = None) -
     """10·log10(range²/mse) over the whole tensor (torchmetrics semantics)."""
     pred = jnp.asarray(pred, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
-    pred, target, rng = _apply_range(pred, target, data_range)
+    pred, target, rng = _apply_range(pred, target, data_range, kind="psnr")
     mse = jnp.mean((pred - target) ** 2)
     return 10.0 * jnp.log10(rng**2 / mse)
 
@@ -117,7 +128,7 @@ def _ssim_nchw(
     """SSIM of (N, C, H, W) tensors, torchmetrics reduction (mean over all)."""
     pred = jnp.asarray(pred, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
-    pred, target, rng = _apply_range(pred, target, data_range)
+    pred, target, rng = _apply_range(pred, target, data_range, kind="ssim")
     n, c, h, w = pred.shape
     # torchmetrics errors when the window exceeds the image; we shrink it to
     # the largest odd size that fits so tiny cubes still get a score.
@@ -178,7 +189,8 @@ def psnr_bandwise(
     (metrics.py:53-54), vectorized on device instead of a per-band loop."""
     pred = jnp.asarray(pred, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
-    pred, target, rng = _apply_range(pred, target, data_range)
+    pred, target, rng = _apply_range(pred, target, data_range,
+                                     kind="psnr", per_band=True)
     mse = jnp.mean((pred - target) ** 2, axis=(0, 1))
     return 10.0 * jnp.log10(rng**2 / mse)
 
@@ -193,7 +205,10 @@ def ssim_bandwise(
     """
     pred = jnp.asarray(pred, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
-    pred, target, rng = _apply_range(pred, target, data_range)
+    pred, target, rng = _apply_range(pred, target, data_range,
+                                     kind="ssim", per_band=True)
+    if jnp.ndim(rng) == 1:  # per-band inferred range → broadcast over (H, W)
+        rng = rng[:, None, None]
     p = jnp.transpose(pred, (2, 0, 1))
     t = jnp.transpose(target, (2, 0, 1))
     k = min(11, p.shape[1], p.shape[2])

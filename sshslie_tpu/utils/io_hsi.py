@@ -120,8 +120,12 @@ def load_cube_specs(specs, mat_key: str = "data") -> dict:
     """
     cubes: dict = {}
     for spec in specs:
-        label, _, path = spec.rpartition("=")
-        path = path or spec
+        # Split at the FIRST '=': 'GT=runs/x=2/c.mat' → label 'GT'. A prefix
+        # containing a path separator is not a label but a bare path whose
+        # directory name happens to contain '=' (e.g. results/run=2/c.mat).
+        label, sep, path = spec.partition("=")
+        if not sep or os.sep in label or "/" in label:
+            label, path = "", spec
         label = label or os.path.splitext(os.path.basename(path))[0]
         while label in cubes:  # bare paths may share a basename
             label += "_"
@@ -140,7 +144,9 @@ def normalize_like_load(
 ) -> np.ndarray:
     """Apply ``load_hsi``'s normalization semantics to an in-memory cube
     (used by the serving path, which receives cubes over the wire)."""
-    if normalization is None:
+    if normalization is None or normalization == "":
+        # '' is the YAML-friendly spelling of null; both mean raw values
+        # (config's enum accepts both — they must not diverge at load time).
         return x
     if normalization == "self":
         x = self_normalization(x)

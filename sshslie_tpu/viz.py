@@ -35,6 +35,14 @@ FALSE_COLOR_JYU = (650.0, 550.0, 468.0)      # visualizeHsiFalseColor_jyu.m:14-1
 TRUE_COLOR = (640.0, 540.0, 460.0)           # visualizeHsiTrueColor.m:13-15
 
 
+def _point_label(i: int) -> str:
+    """a, b, ..., z, a1, b1, ... — probe labels beyond 26 points must not
+    crash the export (letters[i] would IndexError)."""
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    suffix = "" if i < 26 else str(i // 26)
+    return letters[i % 26] + suffix
+
+
 def pct_stretch(img: np.ndarray, low_pct: float = 2.0, high_pct: float = 98.0) -> np.ndarray:
     """Percentile clip + scale to [0,1] (pctStretch.m)."""
     lo, hi = np.percentile(img, [low_pct, high_pct])
@@ -183,7 +191,6 @@ def plot_spectra_at_points(
     os.makedirs(save_dir, exist_ok=True)
     highlight = highlight or {}
     written = []
-    letters = "abcdefghijklmnopqrstuvwxyz"
     for i, (x, y) in enumerate(points):
         plt.figure(figsize=(16, 9))
         for label, cube in cubes.items():
@@ -194,7 +201,7 @@ def plot_spectra_at_points(
         plt.ylabel("Intensity")
         plt.legend(loc="upper left", bbox_to_anchor=(1.01, 1.0), ncol=1)
         plt.tight_layout()
-        path = os.path.join(save_dir, f"{prefix}_at_{letters[i]}.{fmt}")
+        path = os.path.join(save_dir, f"{prefix}_at_{_point_label(i)}.{fmt}")
         plt.savefig(path, bbox_inches="tight")
         plt.close()
         written.append(path)
@@ -213,13 +220,12 @@ def save_false_color_figure(
     plt.figure(figsize=(8, 6))
     plt.imshow(np.clip(rgb, 0, 1))
     plt.axis("off")
-    letters = "abcdefghijklmnopqrstuvwxyz"
     if points:
         xs = [p[0] for p in points]
         ys = [p[1] for p in points]
         plt.plot(xs, ys, "ro", markersize=8)
         for j, (x, y) in enumerate(points):
-            plt.text(x + 15, y - 15, f"({letters[j]})", color="blue", fontsize=20,
+            plt.text(x + 15, y - 15, f"({_point_label(j)})", color="blue", fontsize=20,
                      weight="bold",
                      bbox=dict(facecolor="white", edgecolor="black",
                                boxstyle="round,pad=0.5", alpha=0.3))
@@ -241,6 +247,8 @@ def comparison_grid(
 ) -> str:
     """Side-by-side algorithm grid (compareResultsHoriz.m / compareResultsVert.m)."""
     n = len(images)
+    if n == 0:
+        raise ValueError("comparison_grid needs at least one image")
     if ncols is None:
         ncols = n if horizontal else 1
     nrows = -(-n // ncols)

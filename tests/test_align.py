@@ -188,3 +188,41 @@ def test_align_cli_main(tmp_path, rng):
     # the saved aligned cube has the shift undone (interior matches)
     ref = (cube * 0.3).astype(np.float32)
     assert np.abs(fixed[8:-8, 8:-8] - ref[8:-8, 8:-8]).mean() < 0.02 * ref.mean() + 1e-3
+
+
+def test_batch_checker_handles_v73_cubes(tmp_path, rng):
+    """v7.3 (HDF5) cube pairs must align like v7 ones — the loader goes
+    through io_hsi.load_hsi (the raw scipy path raised NotImplementedError
+    and every pair silently became an all-NaN 'not misaligned' row)."""
+    from sshslie_tpu.utils.io_hsi import save_hsi
+
+    low_dir = tmp_path / "low73"
+    gt_dir = tmp_path / "gt73"
+    low_dir.mkdir(); gt_dir.mkdir()
+    base = _scene(rng)
+    cube = np.stack([base * (1 + 0.1 * b) for b in range(4)], axis=-1)
+    shifted = np.roll(cube, (-4, -5), axis=(0, 1))
+    save_hsi(str(gt_dir / "p.mat"), cube.astype(np.float32), fmt="v7.3")
+    save_hsi(str(low_dir / "p.mat"), (shifted * 0.3).astype(np.float32), fmt="v7.3")
+
+    results = check_misregistration_hsi(
+        str(low_dir), str(gt_dir), str(tmp_path / "r73.csv"),
+        opts=AlignOptions(verbose=False),
+    )
+    assert len(results) == 1
+    assert results[0].flag_misaligned
+    assert results[0].shift_px == pytest.approx(np.hypot(4, 5), abs=1.0)
+
+
+def test_pca_projection_sign_deterministic(rng):
+    """SVD's sign is data-dependent; the projection must anchor to the mean
+    image's polarity so low/GT pairs correlate positively."""
+    from sshslie_tpu.align import project_2d
+
+    base = _scene(rng)
+    cube = np.stack([base * (1 + 0.1 * b) for b in range(6)], axis=-1)
+    for c in (cube, cube * 0.3 + 0.01):  # exposure change must not flip it
+        proj = project_2d(c, "pca")
+        mean_proj = c.mean(axis=2)
+        corr = np.corrcoef(proj.ravel(), mean_proj.ravel())[0, 1]
+        assert corr > 0.5

@@ -162,3 +162,31 @@ def test_augment_batch_jax_matches_numpy(rng):
     out = np.asarray(augment_batch_jax(jnp.asarray(batch), jnp.asarray(modes)))
     for i in range(8):
         np.testing.assert_array_equal(out[i], data_augmentation(batch[i], i))
+
+
+def test_load_cube_specs_paths_with_equals(tmp_path, rng):
+    """A bare path containing '=' in a directory name must not be split as
+    'Label=path'; an explicit label still works."""
+    from sshslie_tpu.utils.io_hsi import load_cube_specs
+
+    d = tmp_path / "run=2"
+    d.mkdir()
+    cube = (rng.rand(8, 8, 3) * 100).astype(np.float32)
+    sio.savemat(d / "c.mat", {"data": cube})
+    specs = load_cube_specs([str(d / "c.mat"), f"GT={d / 'c.mat'}"])
+    assert set(specs) == {"c", "GT"}
+    np.testing.assert_allclose(specs["GT"], cube, rtol=1e-6)
+
+
+def test_normalization_empty_string_means_none(tmp_path, rng):
+    """'' (the YAML-friendly spelling the config enum accepts) must behave
+    exactly like null — previously it raised NotImplementedError at the
+    first cube load, hours after the enum check passed."""
+    from sshslie_tpu.utils.io_hsi import load_hsi
+
+    cube = (rng.rand(8, 8, 3) * 100).astype(np.float32)
+    p = tmp_path / "c.mat"
+    sio.savemat(p, {"data": cube})
+    np.testing.assert_array_equal(
+        load_hsi(str(p), normalization=""), load_hsi(str(p), normalization=None)
+    )

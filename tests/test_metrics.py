@@ -161,3 +161,40 @@ def test_metrics_cli(tmp_path, capsys, rng):
     assert "Avg.PSNR" in out and "Avg.SSIM" in out and "Avg.SAM" in out
     psnr_line = [ln for ln in out.splitlines() if "Avg.PSNR" in ln][0]
     assert float(psnr_line.split(":")[1]) > 40  # tiny noise → high PSNR
+
+
+def test_data_range_none_torchmetrics_semantics(rng):
+    """data_range=None must follow torchmetrics' per-metric inference: PSNR
+    uses the TARGET's range; SSIM the larger of the two tensors' ranges —
+    not a combined min/max (which inflates PSNR when predictions overshoot)."""
+    from sshslie_tpu.metrics import psnr, ssim_spatial
+
+    target = jnp.asarray(rng.rand(16, 16, 4).astype(np.float32))          # [0,1)
+    pred = jnp.asarray(target * 1.2)                                      # overshoots
+    t_rng = float(jnp.max(target) - jnp.min(target))
+    np.testing.assert_allclose(
+        float(psnr(pred, target, None)), float(psnr(pred, target, t_rng)),
+        rtol=1e-6,
+    )
+    s_rng = max(t_rng, float(jnp.max(pred) - jnp.min(pred)))
+    np.testing.assert_allclose(
+        float(ssim_spatial(pred, target, None)),
+        float(ssim_spatial(pred, target, s_rng)), rtol=1e-6,
+    )
+
+
+def test_bandwise_none_uses_per_band_ranges(rng):
+    """The reference's bandwise loop calls torchmetrics once per band, so
+    each band infers its own range — a cube-global range inflates weak
+    bands."""
+    from sshslie_tpu.metrics import psnr_bandwise
+
+    target = rng.rand(16, 16, 3).astype(np.float32)
+    target[..., 1] *= 0.01                                # weak band
+    pred = target + rng.randn(16, 16, 3).astype(np.float32) * 0.001
+    vec = np.asarray(psnr_bandwise(jnp.asarray(pred), jnp.asarray(target), None))
+    for b in range(3):
+        t = jnp.asarray(target[..., b:b + 1])
+        p = jnp.asarray(pred[..., b:b + 1])
+        expect = float(psnr(p, t, float(jnp.max(t) - jnp.min(t))))
+        np.testing.assert_allclose(vec[b], expect, rtol=1e-5)

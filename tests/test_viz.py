@@ -173,3 +173,12 @@ def test_viz_cli_experiment_registry(tmp_path, rng):
                   "--wave_end", "985.0"])
     with pytest.raises(SystemExit):
         viz_main(["--cube", str(tmp_path / "s1.mat"), "--out", str(out)])
+
+
+def test_point_labels_beyond_26_and_empty_grid(rng):
+    from sshslie_tpu.viz import _point_label, comparison_grid
+
+    assert _point_label(0) == "a" and _point_label(25) == "z"
+    assert _point_label(26) == "a1" and _point_label(53) == "b2"
+    with pytest.raises(ValueError, match="at least one image"):
+        comparison_grid({}, "nowhere.png")
