@@ -32,6 +32,26 @@ from sshslie_tpu.models.enhance import LowLightEnhanceNet
 from sshslie_tpu.utils.io_hsi import save_hsi
 
 
+def pad_forward_crop(fn, params: Any, cube: np.ndarray, mh: int, mw: int):
+    """Edge-pad (H, W) to multiples of (mh, mw), run the jitted
+    ``(params, NHWC) → (R, I, I_delta, S)`` forward, crop the pad back out.
+
+    Shared by every inferencer variant (plain/sharded/band-sharded here,
+    quantized in ops/quant.py) — the variants differ only in their jitted fn
+    and pad multiples, and a pad/crop fix must hit all of them at once.
+    """
+    h, w, _ = cube.shape
+    ph = (mh - h % mh) % mh
+    pw = (mw - w % mw) % mw
+    x = jnp.asarray(cube)[None, ...]
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    R, I, Id, S = fn(params, x)
+    if ph or pw:
+        R, I, Id, S = (t[:, :h, :w, :] for t in (R, I, Id, S))
+    return R[0], I[0], Id[0], S[0]
+
+
 class Inferencer:
     """Jitted (R_low, I_low, I_delta, S) forward over (H, W, C) host cubes."""
 
@@ -41,17 +61,8 @@ class Inferencer:
         self._fn = jax.jit(lambda params, x: model.apply({"params": params}, x))
 
     def __call__(self, params: Any, cube: np.ndarray):
-        h, w, _ = cube.shape
         m = self.pad_multiple
-        ph = (m - h % m) % m
-        pw = (m - w % m) % m
-        x = jnp.asarray(cube)[None, ...]
-        if ph or pw:
-            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
-        R, I, Id, S = self._fn(params, x)
-        if ph or pw:
-            R, I, Id, S = (t[:, :h, :w, :] for t in (R, I, Id, S))
-        return R[0], I[0], Id[0], S[0]
+        return pad_forward_crop(self._fn, params, cube, m, m)
 
 
 class ShardedInferencer:
@@ -82,17 +93,7 @@ class ShardedInferencer:
         )
 
     def __call__(self, params: Any, cube: np.ndarray):
-        h, w, _ = cube.shape
-        m = 8 * self.n
-        ph = (m - h % m) % m
-        pw = (8 - w % 8) % 8
-        x = jnp.asarray(cube)[None, ...]
-        if ph or pw:
-            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
-        R, I, Id, S = self._fn(params, x)
-        if ph or pw:
-            R, I, Id, S = (t[:, :h, :w, :] for t in (R, I, Id, S))
-        return R[0], I[0], Id[0], S[0]
+        return pad_forward_crop(self._fn, params, cube, 8 * self.n, 8)
 
 
 class BandShardedInferencer:
@@ -133,16 +134,7 @@ class BandShardedInferencer:
         )
 
     def __call__(self, params: Any, cube: np.ndarray):
-        h, w, _ = cube.shape
-        ph = (8 - h % 8) % 8
-        pw = (8 - w % 8) % 8
-        x = jnp.asarray(cube)[None, ...]
-        if ph or pw:
-            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
-        R, I, Id, S = self._fn(params, x)
-        if ph or pw:
-            R, I, Id, S = (t[:, :h, :w, :] for t in (R, I, Id, S))
-        return R[0], I[0], Id[0], S[0]
+        return pad_forward_crop(self._fn, params, cube, 8, 8)
 
 
 class _OverlappedSaver:

@@ -192,8 +192,10 @@ def load_torch_checkpoint(path: str) -> Tuple[Dict[str, Any], Optional[int]]:
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
-        return (torch_state_dict_to_flax(ckpt["model_state_dict"]),
-                int(ckpt.get("epoch", 0)) or None)
+        # 'epoch: 0' is a legitimate value (0-based counters from non-
+        # reference producers) — only a MISSING key maps to None.
+        epoch = int(ckpt["epoch"]) if "epoch" in ckpt else None
+        return torch_state_dict_to_flax(ckpt["model_state_dict"]), epoch
     return torch_state_dict_to_flax(ckpt), None
 
 

@@ -123,6 +123,7 @@ class MLflowShim:
 
     def __init__(self, enabled: bool = True, local_root: str = "runs"):
         self._backend = None
+        self._local_root = local_root
         if enabled:
             try:
                 import mlflow  # type: ignore
@@ -144,32 +145,46 @@ class MLflowShim:
     def active(self) -> bool:
         return self._backend is not None
 
+    def _call(self, method: str, *args, **kwargs):
+        """Invoke a backend method; a backend failure (unreachable tracking
+        server, auth error, disk full) degrades to the LocalRunTracker
+        instead of killing the run — the reference dies here (main.py:225),
+        the docstring's 'never depends on a tracking server' must hold for
+        configured-but-broken servers too."""
+        if not self._backend:
+            return None
+        try:
+            return getattr(self._backend, method)(*args, **kwargs)
+        except Exception as e:  # noqa: BLE001
+            print(f"mlflow backend failed on {method} ({type(e).__name__}: "
+                  f"{e}); falling back to file tracker under "
+                  f"{self._local_root!r}")
+            self._backend = LocalRunTracker(self._local_root)
+            return getattr(self._backend, method)(*args, **kwargs)
+
     def set_experiment(self, name: str):
-        if self._backend:
-            self._backend.set_experiment(name)
+        self._call("set_experiment", name)
 
     def start_run(self):
-        return self._backend.start_run() if self._backend else _NoOpRun()
+        if not self._backend:
+            return _NoOpRun()
+        return self._call("start_run") or _NoOpRun()
 
     def log_param(self, key: str, value: Any):
-        if self._backend:
-            self._backend.log_param(key, value)
+        self._call("log_param", key, value)
 
     def log_params(self, params: Dict[str, Any]):
-        if self._backend:
-            self._backend.log_params(params)
+        self._call("log_params", params)
 
     def log_metric(self, key: str, value: float, step: Optional[int] = None):
-        if self._backend:
-            self._backend.log_metric(key, value, step=step)
+        self._call("log_metric", key, value, step=step)
 
     def log_metrics(self, values: Dict[str, float], step: Optional[int] = None):
-        if self._backend:
-            self._backend.log_metrics(values, step=step)
+        self._call("log_metrics", values, step=step)
 
     def log_artifact(self, path: str, artifact_path: Optional[str] = None):
         if self._backend and os.path.exists(path):
-            self._backend.log_artifact(path, artifact_path=artifact_path)
+            self._call("log_artifact", path, artifact_path=artifact_path)
 
 
 def param_summary(params: Any) -> str:

@@ -50,7 +50,11 @@ def quantize_array(w: jnp.ndarray, fmt: str = "int8") -> Dict[str, jnp.ndarray]:
     w = jnp.asarray(w, jnp.float32)
     reduce_axes = tuple(range(w.ndim - 1))
     amax = jnp.max(jnp.abs(w), axis=reduce_axes, keepdims=True)
-    scale = jnp.where(amax > 0, amax / spec["max"], 1.0)
+    # Guard the SCALE, not amax: a tiny-but-positive amax (~2e-38) passes
+    # amax > 0 while amax/max underflows to 0 — then w/scale = inf and the
+    # fp8 cast emits NaN weights that poison every output pixel.
+    scale = amax / spec["max"]
+    scale = jnp.where(scale > 0, scale, 1.0)
     if fmt == "int8":
         q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
     else:
@@ -126,17 +130,12 @@ class QuantizedInferencer:
         """API-compatible with Inferencer: pass None to use the instance's
         qparams, or an updated quantized tree (hot-reload without
         recompiling — the jitted fn is keyed on structure, not values)."""
-        h, w, _ = cube.shape
+        from sshslie_tpu.evaluate import pad_forward_crop
+
         m = self.pad_multiple
-        ph = (m - h % m) % m
-        pw = (m - w % m) % m
-        x = jnp.asarray(cube)[None, ...]
-        if ph or pw:
-            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
-        R, I, Id, S = self._fn(self.qparams if qparams is None else qparams, x)
-        if ph or pw:
-            R, I, Id, S = (t[:, :h, :w, :] for t in (R, I, Id, S))
-        return R[0], I[0], Id[0], S[0]
+        return pad_forward_crop(
+            self._fn, self.qparams if qparams is None else qparams, cube, m, m
+        )
 
 
 def quantization_impact(

@@ -366,6 +366,11 @@ class EnhanceService:
             new_params = self._quantized(new_params)
         with self._device_lock:
             self.params = jax.device_put(new_params)
+            if self.quantize and hasattr(self._infer, "qparams"):
+                # Drop the inferencer's device copy of the OLD weights —
+                # enhance() passes params explicitly, but the stale cached
+                # tree would stay pinned in HBM for the server's lifetime.
+                self._infer.qparams = self.params
         self.checkpoint_path = path
         with self._stats_lock:
             self.reload_count += 1
@@ -459,8 +464,14 @@ def _make_handler(service: EnhanceService):
                     token = cfg.serve_reload_token
                     supplied = self.headers.get("X-Reload-Token", "")
                     # compare_digest: constant-time — `!=` would leak token
-                    # contents via timing on a reachable port.
-                    if not token or not hmac.compare_digest(supplied, token):
+                    # contents via timing on a reachable port. It raises
+                    # TypeError on non-ASCII str input — compare bytes so a
+                    # crafted header gets a 403, not a connection reset.
+                    ok = token and hmac.compare_digest(
+                        supplied.encode("utf-8", "surrogateescape"),
+                        token.encode("utf-8", "surrogateescape"),
+                    )
+                    if not ok:
                         self._json(403, {
                             "error": "reload with an explicit checkpoint path "
                                      "requires a matching X-Reload-Token "
@@ -481,7 +492,13 @@ def _make_handler(service: EnhanceService):
             query = parse_qs(parsed.query)
             key = query.get("key", [cfg.mat_key])[0]
             artifacts = query.get("artifacts", ["0"])[0] in ("1", "true")
-            length = int(self.headers.get("Content-Length", "0"))
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                # Malformed header must yield a 400, not an uncaught
+                # ValueError and a reset connection.
+                self._json(400, {"error": "invalid Content-Length header"})
+                return
             if length <= 0:
                 self._json(400, {"error": "empty body; POST a .mat file"})
                 return

@@ -128,3 +128,25 @@ def test_experiment_registry(tmp_path):
     bad.write_text(yaml.safe_dump({"x": {"description": "no captures"}}))
     with pytest.raises(ValueError):
         load_registry(str(bad))
+
+
+def test_mlflow_shim_degrades_on_backend_failure(tmp_path, monkeypatch):
+    """A configured-but-broken mlflow backend (unreachable tracking server)
+    must degrade to the file tracker, not kill the run — the reference's
+    hard server dependency (main.py:225) is the behavior being fixed."""
+    from sshslie_tpu.observability import LocalRunTracker, MLflowShim
+
+    shim = MLflowShim(enabled=True, local_root=str(tmp_path / "runs"))
+
+    class _Dead:
+        def __getattr__(self, name):
+            def boom(*a, **k):
+                raise ConnectionError("tracking server unreachable")
+            return boom
+
+    shim._backend = _Dead()
+    shim.set_experiment("exp")          # must not raise
+    assert isinstance(shim._backend, LocalRunTracker)
+    shim.log_param("k", "v")
+    with shim.start_run():
+        shim.log_metric("m", 1.0, step=0)

@@ -129,3 +129,16 @@ def test_quant_report_cli(tmp_path, small_model, rng):
     out = json.loads(buf.getvalue())
     assert out["files"] == ["a.mat"]
     assert out["int8"]["psnr_vs_fp32_avg"] > 30.0
+
+
+def test_quantize_denormal_amax_stays_finite():
+    """A tiny-but-positive channel amax must not underflow the scale to 0 —
+    w/scale would be inf and the fp8 cast emits NaN weights that poison
+    every output (int8 silently zeroed the tensor)."""
+    from sshslie_tpu.ops.quant import dequantize_array, quantize_array
+
+    w = jnp.full((3, 4), 2e-38, jnp.float32)
+    for fmt in ("int8", "fp8"):
+        node = quantize_array(w, fmt)
+        assert bool(jnp.all(jnp.isfinite(node["scale"])))
+        assert bool(jnp.all(jnp.isfinite(dequantize_array(node))))

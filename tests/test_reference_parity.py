@@ -186,6 +186,17 @@ def test_pth_checkpoint_import_cli(paired_models, tmp_path, rng):
     )
 
 
+def test_epoch_zero_checkpoint_import(paired_models, tmp_path):
+    """'epoch: 0' is a legitimate stored value (0-based external producers)
+    and must survive import — only a MISSING key maps to None."""
+    ref, _, _, _ = paired_models
+    pth = tmp_path / "e0.pth"
+    torch.save({"epoch": 0, "model_state_dict": ref.state_dict()}, str(pth))
+    from sshslie_tpu.interop import load_torch_checkpoint
+    _, epoch = load_torch_checkpoint(str(pth))
+    assert epoch == 0
+
+
 def test_bare_state_dict_import(paired_models, tmp_path):
     ref, ours, params, C = paired_models
     pth = tmp_path / "bare.pth"

@@ -134,6 +134,15 @@ def test_http_bad_requests(server):
     resp = conn.getresponse()
     assert resp.status == 400
     conn.close()
+    # malformed Content-Length → 400, not a reset connection
+    conn = http.client.HTTPConnection(server.host, server.port, timeout=30)
+    conn.putrequest("POST", "/enhance")
+    conn.putheader("Content-Length", "abc")
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 400
+    assert "Content-Length" in json.loads(resp.read())["error"]
+    conn.close()
     # unknown path → 404
     conn = http.client.HTTPConnection(server.host, server.port, timeout=30)
     conn.request("GET", "/nope")
