@@ -18,6 +18,6 @@ Design principles (TPU-first, not a port):
     implementations in :mod:`sshslie_tpu.ops.attention`.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 from sshslie_tpu.config import Config, load_config  # noqa: F401
