@@ -419,3 +419,39 @@ def test_trainer_grad_accum_rejects_forced_fused(tmp_path, rng):
     with pytest.raises(ValueError, match="host pipeline"):
         trainer.fit(CubeStore(str(d), normalization="self"),
                     ckpt_dir=str(tmp_path / "ck"))
+
+
+def test_resume_exact_trajectory_host_pipeline(tmp_path, rng):
+    """Host-pipeline (PCG64 sampler) resume must also replay the exact
+    uninterrupted trajectory: fit fast-forwards the sampler RNG past the
+    completed epochs via skip_epochs (without it, a resumed run re-drew
+    epoch 0's patches)."""
+    import scipy.io as sio
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        os.makedirs("cubes", exist_ok=True)
+        for i in range(2):
+            sio.savemat(f"cubes/c{i}.mat",
+                        {"data": (rng.rand(24, 24, 6) * 4000).astype(np.float32)})
+        from sshslie_tpu.data.datasets import CubeStore
+
+        store = CubeStore("cubes", normalization="global_normalization",
+                          global_min=0.0, global_max=4095.0)
+        base = dict(epoch=4, eval_every_epoch=2, fused_pipeline="off",
+                    sampler="python", global_min=0.0, global_max=4095.0)
+
+        t_full = Trainer(_tiny_cfg(**base), channels=6)
+        t_full.fit(store, ckpt_dir="ck_full_host")
+
+        t_a = Trainer(_tiny_cfg(**{**base, "epoch": 2}), channels=6)
+        t_a.fit(store, ckpt_dir="ck_resume_host")
+        t_b = Trainer(_tiny_cfg(**base, resume=True), channels=6)
+        t_b.fit(store, ckpt_dir="ck_resume_host")
+
+        for a, b in zip(jax.tree.leaves(t_full.state.params),
+                        jax.tree.leaves(t_b.state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    finally:
+        os.chdir(cwd)
