@@ -25,6 +25,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <system_error>
 #include <thread>
 #include <vector>
 
@@ -101,11 +102,11 @@ extern "C" {
 //   out:        (batch, P, P, C) float32, caller-allocated
 //   num_threads: 0 = hardware concurrency
 //
-// Returns 0 on success, nonzero on bad arguments.
+// Returns 0 on success, nonzero on bad arguments or resource failure.
 int sample_batch(const float** cubes, const int64_t* heights,
                  const int64_t* widths, int64_t num_cubes, int64_t channels,
                  int64_t batch, int64_t patch, int64_t batch_start,
-                 uint64_t seed, float* out, int num_threads) {
+                 uint64_t seed, float* out, int num_threads) try {
   if (num_cubes <= 0 || batch <= 0 || patch <= 0 || channels <= 0) return 1;
   for (int64_t k = 0; k < num_cubes; ++k) {
     if (heights[k] < patch || widths[k] < patch) return 2;
@@ -145,10 +146,22 @@ int sample_batch(const float** cubes, const int64_t* heights,
   };
   std::vector<std::thread> pool;
   pool.reserve(n_threads - 1);
-  for (int t = 1; t < n_threads; ++t) pool.emplace_back(worker);
+  for (int t = 1; t < n_threads; ++t) {
+    try {
+      pool.emplace_back(worker);
+    } catch (const std::system_error&) {
+      break;  // thread pressure: run with the threads we got + this one
+    }
+  }
   worker();
   for (auto& th : pool) th.join();
   return 0;
+} catch (...) {
+  // An exception crossing the extern "C"/ctypes boundary is UB (in practice
+  // std::terminate, killing the training process). bad_alloc etc. become a
+  // recoverable nonzero return that the Python wrapper turns into
+  // RuntimeError.
+  return 3;
 }
 
 }  // extern "C"

@@ -35,9 +35,15 @@ def main(argv=None):
     from sshslie_tpu.interop import export_torch_checkpoint
     from sshslie_tpu.train import build_model, init_params
 
+    ut = args.use_transformer.strip().lower()
+    if ut not in ("1", "true", "yes", "0", "false", "no"):
+        # A typo ('ture') silently built the no-transformer template and
+        # failed later on a confusing param-structure mismatch.
+        raise SystemExit(f"--use_transformer {args.use_transformer!r}: "
+                         "expected true/false")
     cfg = Config(
         channels=args.channels, attention_impl="xla",
-        use_transformer=args.use_transformer.lower() in ("1", "true", "yes"),
+        use_transformer=ut in ("1", "true", "yes"),
     )
     model = build_model(cfg, args.channels)
     template = init_params(model, cfg.seed_value, cfg.patch_size)

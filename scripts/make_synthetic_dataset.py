@@ -76,6 +76,13 @@ def main(argv=None):
             if with_gt:
                 sio.savemat(os.path.join(args.out, "high", split.split("/")[-1], name),
                             {"data": scene.astype(np.float32)})
+                if split == "eval":
+                    # Mid-training eval scores against label_dir (one GT dir
+                    # for both phases, reference semantics) — the eval GT
+                    # must ALSO sit there, or every eval epoch logs
+                    # 'metrics skipped: no pairs'.
+                    sio.savemat(os.path.join(args.out, "high", "test", name),
+                                {"data": scene.astype(np.float32)})
 
     write("train", args.train, with_gt=False)
     write("eval", args.eval, with_gt=True)

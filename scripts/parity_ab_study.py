@@ -91,6 +91,11 @@ def main(argv=None):
     ap.add_argument("--perturb", type=float, default=1e-6)
     args = ap.parse_args(argv)
 
+    if args.patch >= args.cube:
+        # randint(0, 0) deep in record_batch is the alternative failure mode.
+        raise SystemExit(
+            f"--patch {args.patch} must be smaller than --cube {args.cube}"
+        )
     if not os.path.exists(os.path.join(REFERENCE, "model.py")):
         raise SystemExit("reference checkout not available at /root/reference")
 

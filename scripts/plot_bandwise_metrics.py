@@ -33,7 +33,13 @@ import numpy as np
 
 
 def parse_algo(spec: str):
-    label, _, rest = spec.partition("=")
+    label, sep, rest = spec.partition("=")
+    if not sep or not rest:
+        # Without this, a forgotten 'Label=' prefix made path='' and the
+        # metrics silently globbed *.mat in the CWD under a wrong label.
+        raise SystemExit(
+            f"--algo {spec!r} must be 'Label=pred_dir[:mat_key]'"
+        )
     path, _, key = rest.partition(":")
     return label, path, (key or "data")
 
@@ -73,9 +79,11 @@ def main(argv=None):
         xlabel = "Band Number"
 
     os.makedirs(args.out, exist_ok=True)
-    styles = itertools.cycle(["-", "--", "-.", ":"])
     for metric_idx, (name, ylabel) in enumerate([("mpsnr", "MPSNR (dB)"),
                                                  ("mssim", "MSSIM")]):
+        # Fresh cycle per figure: a shared one left each algorithm with
+        # DIFFERENT linestyles in the paired MPSNR/MSSIM plots.
+        styles = itertools.cycle(["-", "--", "-.", ":"])
         plt.figure(figsize=(12, 7))
         for (label, vecs), ls in zip(curves.items(), styles):
             lw = 3.0 if "Ours" in label else 1.8

@@ -41,11 +41,18 @@ def main(argv=None):
 
     from sshslie_tpu import viz
 
+    from sshslie_tpu.utils.io_hsi import load_hsi
+
     cubes = {}
     for spec in args.cube:
         label, _, rest = spec.partition("=")
         path, _, key = rest.partition(":")
-        cubes[label] = np.asarray(sio.loadmat(path)[key or "data"], dtype=np.float64)
+        # load_hsi, not raw loadmat: reads v7.3/HDF5 too (save_hsi auto-emits
+        # v7.3 for cubes ≥ 2 GiB — results must stay plottable).
+        cubes[label] = np.asarray(
+            load_hsi(path, mat_key=key or "data", normalization=None),
+            dtype=np.float64,
+        )
 
     points = [tuple(int(v) for v in p.split(",")) for p in args.point]
     os.makedirs(args.out, exist_ok=True)

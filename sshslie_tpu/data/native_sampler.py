@@ -99,6 +99,16 @@ class NativePatchSampler:
                 raise ValueError(
                     f"cube {store.files[i]} smaller than patch_size={patch_size}"
                 )
+            if c.shape[2] != self._channels:
+                # The C library indexes every cube with ONE shared channel
+                # count — a mismatched cube would be read out of bounds
+                # (heap over-read), not caught like the Python sampler's
+                # broadcast error. Fail loudly here instead.
+                raise ValueError(
+                    f"cube {store.files[i]} has {c.shape[2]} channels but "
+                    f"{store.files[0]} has {self._channels}; the native "
+                    "sampler needs a uniform channel count"
+                )
 
     @property
     def num_batches(self) -> int:
