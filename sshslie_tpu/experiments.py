@@ -72,6 +72,11 @@ def load_registry(yaml_path: str, base_dir: str = "") -> Registry:
     """Parse an experiments YAML into a Registry."""
     with open(yaml_path) as fh:
         raw = yaml.safe_load(fh) or {}
+    if not isinstance(raw, dict):
+        raise ValueError(
+            f"{yaml_path}: expected a mapping of experiment name → spec, got "
+            f"{type(raw).__name__}"
+        )
     experiments = {}
     for name, spec in raw.items():
         if not isinstance(spec, dict) or "captures" not in spec:

@@ -37,6 +37,12 @@ class SpectraInspector:
     ):
         import matplotlib.pyplot as plt
 
+        n_bands = {label: c.shape[2] for label, c in cubes.items()}
+        if len(set(n_bands.values())) > 1:
+            raise ValueError(
+                "all cubes must share one band count for a common wavelength "
+                f"axis; got {n_bands}"
+            )
         self.cubes = cubes
         self.window_size = window_size
         self.wave_start = wave_start_nm
@@ -116,10 +122,13 @@ class SpectraInspector:
         n_bands = next(iter(self.cubes.values())).shape[2]
         x = np.linspace(self.wave_start, self.wave_end, n_bands)
         styles = ["-", "--", "-.", ":"]
+        multi = len(self.points) > 1
         for li, (label, specs) in enumerate(self.spectra().items()):
             for pi, s in enumerate(specs):
+                # Every curve gets a distinguishing legend entry; with one
+                # probe the probe suffix is noise and is dropped.
                 self.spec_ax.plot(x, s, styles[pi % 4],
-                                  label=f"{label} @p{pi}" if pi == 0 else None)
+                                  label=f"{label} @p{pi}" if multi else label)
         self.spec_ax.set_xlabel("Wavelength (nm)")
         self.spec_ax.set_ylabel("Intensity" + (" (calibrated)" if self.white else ""))
         self.spec_ax.legend(fontsize=8)

@@ -50,6 +50,31 @@ class _NoOpRun:
         return False
 
 
+class _SafeRun:
+    """Wrap a backend run context so a tracking failure at run END (e.g.
+    mlflow.end_run against a server that died mid-run) cannot turn a fully
+    successful training run into a nonzero exit."""
+
+    def __init__(self, run):
+        self._run = run
+
+    def __enter__(self):
+        try:
+            return self._run.__enter__()
+        except AttributeError:
+            return self._run
+
+    def __exit__(self, *exc):
+        try:
+            return self._run.__exit__(*exc)
+        except AttributeError:
+            return False
+        except Exception as e:  # noqa: BLE001
+            print(f"tracking run close failed ({type(e).__name__}: {e}); "
+                  "continuing")
+            return False
+
+
 class LocalRunTracker:
     """File-based experiment tracking: params.json, metrics.jsonl, artifact
     copies under ``runs/<experiment>/``.
@@ -147,28 +172,39 @@ class MLflowShim:
 
     def _call(self, method: str, *args, **kwargs):
         """Invoke a backend method; a backend failure (unreachable tracking
-        server, auth error, disk full) degrades to the LocalRunTracker
-        instead of killing the run — the reference dies here (main.py:225),
-        the docstring's 'never depends on a tracking server' must hold for
-        configured-but-broken servers too."""
+        server, auth error, disk full) degrades to the LocalRunTracker — and
+        if THAT fails too (corrupt runs/ state, unwritable disk), to no
+        tracking at all — instead of killing the run. The reference dies
+        here (main.py:225); 'never depends on a tracking server' must hold
+        for configured-but-broken backends too."""
         if not self._backend:
             return None
         try:
             return getattr(self._backend, method)(*args, **kwargs)
         except Exception as e:  # noqa: BLE001
-            print(f"mlflow backend failed on {method} ({type(e).__name__}: "
-                  f"{e}); falling back to file tracker under "
-                  f"{self._local_root!r}")
+            was_local = isinstance(self._backend, LocalRunTracker)
+            print(f"tracking backend failed on {method} ({type(e).__name__}: "
+                  f"{e}); " + ("disabling run tracking" if was_local else
+                               f"falling back to file tracker under "
+                               f"{self._local_root!r}"))
+            if was_local:
+                self._backend = None
+                return None
             self._backend = LocalRunTracker(self._local_root)
-            return getattr(self._backend, method)(*args, **kwargs)
+            try:
+                return getattr(self._backend, method)(*args, **kwargs)
+            except Exception as e2:  # noqa: BLE001
+                print(f"file tracker also failed ({type(e2).__name__}: "
+                      f"{e2}); disabling run tracking")
+                self._backend = None
+                return None
 
     def set_experiment(self, name: str):
         self._call("set_experiment", name)
 
     def start_run(self):
-        if not self._backend:
-            return _NoOpRun()
-        return self._call("start_run") or _NoOpRun()
+        run = self._call("start_run") if self._backend else None
+        return _SafeRun(run) if run is not None else _NoOpRun()
 
     def log_param(self, key: str, value: Any):
         self._call("log_param", key, value)

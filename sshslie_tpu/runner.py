@@ -176,21 +176,34 @@ def main(cfg: Config) -> None:
                     "decomposition network will be frozen for the first "
                     f"{cfg.freeze_decom_epochs} epochs"
                 )
+        elif trainer.freeze_decom_epochs > 0:
+            # Reference semantics (main.py:196-212): freeze_decom_epochs
+            # only applies when pretrained weights were actually loaded —
+            # freezing a randomly-initialized DecompositionNet would just
+            # degrade training silently.
+            print("freeze_decom_epochs ignored: no pretrained model loaded "
+                  "(reference main.py:196-212 semantics)")
+            trainer.freeze_decom_epochs = 0
 
         mlflow.set_experiment(cfg.full_model_name)
         with mlflow.start_run():
-            mlflow.log_param("phase", cfg.phase)
-            mlflow.log_param("data_min", cfg.global_min)
-            mlflow.log_param("data_max", cfg.global_max)
-            mlflow.log_param("seed", cfg.seed_value)
-            mlflow.log_param("patch_size", cfg.patch_size)
-            mlflow.log_param("model_name", cfg.full_model_name)
+            run_params = {
+                "phase": cfg.phase,
+                "data_min": cfg.global_min,
+                "data_max": cfg.global_max,
+                "seed": cfg.seed_value,
+                "patch_size": cfg.patch_size,
+                "model_name": cfg.full_model_name,
+            }
             for key in (
                 "c_loss_reconstruction", "c_loss_r_fidelity", "c_loss_i_smooth_low",
                 "c_loss_i_smooth_delta", "c_loss_fourier", "c_loss_spectral_cons",
                 "alpha_i_smooth_low", "alpha_i_smooth_delta",
             ):
-                mlflow.log_param(key, getattr(cfg, key))
+                run_params[key] = getattr(cfg, key)
+            # One batched call (reference model.py:264 does the same): the
+            # file tracker rewrites params.json per call.
+            mlflow.log_params(run_params)
             if cfg.config_path:
                 mlflow.log_artifact(cfg.config_path)
             _log_source_artifacts(mlflow)
@@ -206,10 +219,9 @@ def main(cfg: Config) -> None:
                 mlflow.log_param("data_train", cfg.train_data)
                 mlflow.log_param("data_test", cfg.test_data)
                 run_train(trainer, cfg)
-                # train_and_test reuses the checkpoints written by this run.
-                cfg.test_model_dir = os.path.join(
-                    cfg.model_ckpt_dir, "Decomposition_" + cfg.timestamp
-                )
+                # cfg.test_model_dir (derived in Config.finalize from this
+                # run's timestamp) already points at the checkpoints this
+                # run just wrote.
                 run_test(trainer, cfg)
                 run_eval_metrics(cfg, mlflow)
             elif cfg.phase == "serve":

@@ -25,7 +25,12 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import matplotlib
 
-matplotlib.use("Agg")
+if not os.environ.get("DISPLAY") and not os.environ.get("MPLBACKEND"):
+    # Headless default — but do NOT force Agg when a display exists:
+    # inspect_spectra imports this module, and an unconditional use("Agg")
+    # here made its interactive probes (PARITY M6) silently dead on GUI
+    # machines.
+    matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 import numpy as np  # noqa: E402
 
