@@ -56,7 +56,14 @@ struct Xoshiro256 {
     s[3] = rotl(s[3], 45);
     return result;
   }
-  // uniform integer in [0, n) (n > 0), bias-free enough for sampling
+  // Uniform integer in [0, n), n > 0, via 64-bit modulo. The modulo bias is
+  // exactly quantifiable: (2^64 mod n) residues occur with probability
+  // ceil(2^64/n)/2^64 and the rest with floor(2^64/n)/2^64, so the relative
+  // over-representation is < n/2^64 — for the largest draw here (a crop
+  // offset, n ≤ ~2^9 for 512² cubes) that is < 2^-55, i.e. undetectable
+  // below ~10^16 samples. Kept over Lemire rejection deliberately: rejection
+  // consumes a data-dependent number of next() calls, which would break the
+  // fixed-draws-per-sample replay contract that skip-ahead resume relies on.
   uint64_t below(uint64_t n) { return next() % n; }
 };
 

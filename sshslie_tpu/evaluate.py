@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 import time
-import weakref
+from collections import OrderedDict
 from typing import Any, Dict, Optional
 
 import jax
@@ -218,12 +218,17 @@ def _save_outputs(
         save_hsi(os.path.join(artifact_dir, stem + "_I_delta.mat"), np.asarray(I_delta))
 
 
-# Inferencers memoized per model so repeated evals reuse one jitted fn: jit
-# caches on the function object, and a fresh ``jax.jit(lambda ...)`` per eval
-# epoch would re-trace every time (and fully recompile on backends where the
-# persistent cache is policy-disabled, e.g. XLA:CPU). Keyed weakly on the
-# flax module (hash/eq are config-based, so equal-config trainers share).
-_INFERENCER_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# Inferencers memoized per (model-config, variant) so repeated evals reuse one
+# jitted fn: jit caches on the function object, and a fresh
+# ``jax.jit(lambda ...)`` per eval epoch would re-trace every time (and fully
+# recompile on backends where the persistent cache is policy-disabled, e.g.
+# XLA:CPU). Flax module hash/eq are config-based, so equal-config trainers
+# share an entry. Bounded LRU rather than a WeakKeyDictionary: the cached
+# Inferencer closes over the model that would be the weak key, which defeats
+# weakref collection — an explicit eviction bound is the honest policy for
+# long-lived processes that build many distinct models (ADVICE r2).
+_INFERENCER_CACHE: "OrderedDict[tuple, Any]" = OrderedDict()
+_INFERENCER_CACHE_MAX = 16
 
 
 def _device_params(params):
@@ -261,10 +266,16 @@ def _make_inferencer(trainer):
     else:
         key = ("plain", cfg.eval_pad_multiple)
         make = lambda: Inferencer(trainer.model, cfg.eval_pad_multiple)  # noqa: E731
-    per_model = _INFERENCER_CACHE.setdefault(trainer.model, {})
-    if key not in per_model:
-        per_model[key] = make()
-    return per_model[key]
+    cache_key = (trainer.model, key)
+    inf = _INFERENCER_CACHE.get(cache_key)
+    if inf is None:
+        inf = make()
+        _INFERENCER_CACHE[cache_key] = inf
+        while len(_INFERENCER_CACHE) > _INFERENCER_CACHE_MAX:
+            _INFERENCER_CACHE.popitem(last=False)
+    else:
+        _INFERENCER_CACHE.move_to_end(cache_key)
+    return inf
 
 
 def evaluate_model(

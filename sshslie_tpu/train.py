@@ -587,12 +587,17 @@ class Trainer:
                     f"patch_size {cfg.patch_size} exceeds the smallest "
                     f"training cube ({min_h}x{min_w}); reduce patch_size"
                 )
-            if shapes[0][2] != self.channels:
-                raise ValueError(
-                    f"model was built for {self.channels} channels but the "
-                    f"training cubes have {shapes[0][2]} (check the "
-                    f"'channels' config key vs {train_store.files[0]})"
-                )
+            # Every cube, not just the first: with the python sampler a later
+            # mixed-channel cube would otherwise fail mid-training with an
+            # opaque broadcast error (the native sampler already validates
+            # uniformity across all cubes).
+            for i, s in enumerate(shapes):
+                if s[2] != self.channels:
+                    raise ValueError(
+                        f"model was built for {self.channels} channels but "
+                        f"{train_store.files[i]} has {s[2]} (check the "
+                        f"'channels' config key and dataset uniformity)"
+                    )
         ckpt_dir = ckpt_dir or os.path.join(
             cfg.model_ckpt_dir, "Decomposition_" + cfg.timestamp
         )
