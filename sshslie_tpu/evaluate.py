@@ -86,10 +86,15 @@ class ShardedInferencer:
         self.n = mesh.shape[data_axis]
         in_sharding = NamedSharding(mesh, P(None, data_axis, None, None))
         rep = NamedSharding(mesh, P())
+        # Multi-host: replicate the outputs (an ICI all-gather) so the single
+        # writer process holds every shard and can fetch the full cube; with
+        # sharded outputs a non-addressable np.asarray would fail on every
+        # host. Single-host keeps sharded outputs (no gather needed to read).
+        out = rep if jax.process_count() > 1 else in_sharding
         self._fn = jax.jit(
             lambda params, x: model.apply({"params": params}, x),
             in_shardings=(rep, in_sharding),
-            out_shardings=in_sharding,
+            out_shardings=out,
         )
 
     def __call__(self, params: Any, cube: np.ndarray):
@@ -126,11 +131,13 @@ class BandShardedInferencer:
             )
         banded = NamedSharding(mesh, P(None, None, None, band_axis))
         rep = NamedSharding(mesh, P())
+        # Multi-host: replicate C-band outputs too (see ShardedInferencer).
+        out_banded = rep if jax.process_count() > 1 else banded
         self._fn = jax.jit(
             lambda params, x: model.apply({"params": params}, x),
             in_shardings=(rep, banded),
             # R and S carry C bands → sharded; I and I_delta are 1-channel.
-            out_shardings=(banded, rep, rep, banded),
+            out_shardings=(out_banded, rep, rep, out_banded),
         )
 
     def __call__(self, params: Any, cube: np.ndarray):
@@ -293,22 +300,32 @@ def evaluate_model(
     if len(eval_store) == 0:
         print(f"--- No files found for evaluation. Skipping evaluation for epoch {epoch} ---")
         return None
-    print(f"--- Running evaluation for epoch {epoch} ---")
+    # Multi-host single-writer: under eval_sharded every process participates
+    # in the collective inference (identical dispatch order), but only
+    # process 0 writes .mat files and re-reads them for metrics — concurrent
+    # identical writers tear files (savemat is not atomic) and duplicate the
+    # metric pass. Non-sharded multi-process eval never reaches here on
+    # rank > 0 (Trainer.fit gates the call itself).
+    is_writer = jax.process_index() == 0
+    if is_writer:
+        print(f"--- Running evaluation for epoch {epoch} ---")
     cfg = trainer.cfg
     epoch_dir = os.path.join(eval_result_dir, f"epoch_{epoch}")
-    os.makedirs(epoch_dir, exist_ok=True)
+    if is_writer:
+        os.makedirs(epoch_dir, exist_ok=True)
     infer = _make_inferencer(trainer)
     params = _device_params(trainer.state.params)
     with _OverlappedSaver() as saver:
         for idx, cube in enumerate(eval_store.cubes):
             filename = os.path.basename(eval_store.files[idx])
             R, I, Id, S = infer(params, cube)
-            saver.submit(
-                _save_outputs, cfg, epoch_dir, filename, S, R, I, Id,
-                cfg.save_reflectance, cfg.save_illumination, cfg.save_i_delta,
-            )
+            if is_writer:
+                saver.submit(
+                    _save_outputs, cfg, epoch_dir, filename, S, R, I, Id,
+                    cfg.save_reflectance, cfg.save_illumination, cfg.save_i_delta,
+                )
     scores = None
-    if label_dir:
+    if label_dir and is_writer:
         try:
             avg_psnr, avg_ssim, avg_sam = metrics_mod.calc_metrics(
                 im_dir=os.path.normpath(os.path.join(epoch_dir, "*.mat")),
@@ -322,7 +339,8 @@ def evaluate_model(
         except ValueError as e:
             # No prediction/GT pair — keep training (the reference dies here).
             print(f"--- Eval metrics skipped for epoch {epoch}: {e} ---")
-    print(f"--- Evaluation for epoch {epoch} finished. Results saved to {epoch_dir} ---")
+    if is_writer:
+        print(f"--- Evaluation for epoch {epoch} finished. Results saved to {epoch_dir} ---")
     return scores
 
 
@@ -339,7 +357,11 @@ def test_model(
         checkpoints.latest_path(model_dir), trainer.state.params, trainer.state.opt_state
     )
     trainer.state = trainer.state.replace(params=params, opt_state=opt_state)
-    os.makedirs(save_dir, exist_ok=True)
+    # Same single-writer contract as evaluate_model: on a multi-host mesh all
+    # processes run the (collective) inference, only process 0 writes.
+    is_writer = jax.process_index() == 0
+    if is_writer:
+        os.makedirs(save_dir, exist_ok=True)
     infer = _make_inferencer(trainer)
     params = _device_params(trainer.state.params)
     total_run_time = 0.0
@@ -355,10 +377,11 @@ def test_model(
             jax.block_until_ready(S)
             run_time = time.time() - start
             total_run_time += run_time
-            saver.submit(
-                _save_outputs, cfg, save_dir, filename, S, R, I, Id,
-                cfg.save_reflectance, cfg.save_illumination, cfg.save_i_delta,
-            )
+            if is_writer:
+                saver.submit(
+                    _save_outputs, cfg, save_dir, filename, S, R, I, Id,
+                    cfg.save_reflectance, cfg.save_illumination, cfg.save_i_delta,
+                )
             print(f"Processed {filename} in {run_time:.4f} seconds.")
     n = len(test_store.cubes)
     avg = total_run_time / n if n else 0.0

@@ -916,8 +916,22 @@ class Trainer:
                     )
 
                 if (epoch + 1) % cfg.eval_every_epoch == 0:
-                    if evaluator is not None and eval_store is not None and eval_result_dir:
-                        if eval_pool is not None:
+                    # Multi-host eval policy (docs/PARALLEL.md): with a plain
+                    # (unsharded) evaluator every process would run the SAME
+                    # full-cube inference and race on the SAME .mat writes —
+                    # run it on process 0 only. With eval_sharded the forward
+                    # is a mesh-wide collective, so every process must call it
+                    # (the writer gating then lives inside evaluate_model) and
+                    # it must run synchronously: an async eval thread would
+                    # interleave its collectives with train-step collectives
+                    # in a per-process nondeterministic order — a deadlock on
+                    # a real pod.
+                    multi = jax.process_count() > 1
+                    eval_sharded = multi and getattr(cfg, "eval_sharded", False)
+                    run_eval = (not multi) or eval_sharded or jax.process_index() == 0
+                    if (run_eval and evaluator is not None
+                            and eval_store is not None and eval_result_dir):
+                        if eval_pool is not None and not eval_sharded:
                             # Snapshot params to host *now* — the live buffers are
                             # donated to the next step and become invalid.
                             view = _SnapshotView(self, jax.device_get(self.state.params))

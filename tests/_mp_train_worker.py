@@ -8,8 +8,11 @@ losses as JSON. Not collected by pytest (no test_ prefix).
 Usage: python _mp_train_worker.py <port> <rank> <world> <data_dir> <out_prefix> [pipeline]
 
 ``pipeline`` is ``host`` (default: per-process batch slices through the
-Prefetcher) or ``fused`` (replicated on-device cube stack via
-jax.make_array_from_process_local_data, sampling inside the jitted step).
+Prefetcher), ``fused`` (replicated on-device cube stack via
+jax.make_array_from_process_local_data, sampling inside the jitted step), or
+``host_eval`` (host pipeline + per-epoch evaluation into a PER-RANK result
+dir — exercises the multi-host single-writer eval gate: only rank 0's dir
+may receive epoch outputs).
 """
 
 import json
@@ -45,7 +48,8 @@ from sshslie_tpu.train import Trainer  # noqa: E402
 
 cfg = Config(
     channels=4, patch_size=16, batch_size=8, epoch=2,
-    eval_every_epoch=100, plot_every_epoch=100, attention_impl="xla",
+    eval_every_epoch=1 if pipeline == "host_eval" else 100,
+    plot_every_epoch=100, attention_impl="xla",
     fused_pipeline="on" if pipeline == "fused" else "off",
     sampler="python", mesh_shape="8",
 )
@@ -53,7 +57,17 @@ cfg.finalize()
 store = CubeStore(data_dir, normalization="self")
 mesh = make_mesh("8")
 trainer = Trainer(cfg, channels=4, mesh=mesh)
-trainer.fit(store, ckpt_dir=f"{out_prefix}_ck{rank}")
+fit_kwargs = {}
+if pipeline == "host_eval":
+    from sshslie_tpu.evaluate import evaluate_model
+
+    fit_kwargs = dict(
+        eval_store=store, evaluator=evaluate_model,
+        # Per-rank result dir: after the single-writer gate only rank 0's
+        # may gain epoch_N subdirectories.
+        eval_result_dir=f"{out_prefix}_eval{rank}",
+    )
+trainer.fit(store, ckpt_dir=f"{out_prefix}_ck{rank}", **fit_kwargs)
 
 with open(f"{out_prefix}.{rank}.json", "w") as fh:
     json.dump(trainer.all_epoch_losses, fh)
