@@ -114,6 +114,7 @@ class Config:
     jit_cache_dir: str = "~/.cache/sshslie_tpu/xla"  # persistent XLA compilation cache ('' = disabled)
     profile_dir: str = ""                 # write a jax.profiler trace here when set
     eval_pad_multiple: int = 1            # >1: edge-pad H,W to a multiple for bucketed jit shapes
+    eval_batch: int = 1                   # >1: stack same-shape cubes into one eval/test forward dispatch
     eval_sharded: bool = False            # mesh runs eval/test sharded (see eval_shard_mode; padding perturbs outputs unless divisible — docs/CONFIG.md)
     eval_shard_mode: str = "spatial"      # 'spatial' (height across chips, halo exchanges) | 'band' (spectral axis, needs channels % n_devices == 0)
     async_eval: bool = False              # run mid-training eval on a params snapshot in a worker thread
