@@ -107,6 +107,7 @@ class Config:
     fused_pipeline: str = "auto"          # 'auto'|'on'|'off': on-device sampling+step graph
     sampler: str = "auto"                 # host sampler: 'auto'|'native'|'python' (RNG streams differ; see docs/PARITY.md)
     steps_per_dispatch: int = 1           # fused pipeline: scan K steps per device dispatch (amortizes launch latency)
+    fused_window: int = 0                 # >0: fused pipeline over a rotating K-cube device window (datasets larger than HBM; see docs/CONFIG.md)
     grad_accum_steps: int = 1             # >1: scan K sequential microbatches per step (exact full-batch update, ~K× less activation memory; host pipeline only)
     log_every_step: int = 0               # 0 = per-epoch logging only (avoid device→host syncs)
     checkpoint_keep: int = 0              # 0 = keep all periodic checkpoints
