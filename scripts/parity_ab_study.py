@@ -17,9 +17,18 @@ the framework-vs-framework delta is what the parity budget bounds.
 Usage:
   python scripts/parity_ab_study.py [--steps 300] [--channels 16]
          [--patch 64] [--cube 128] [--out report.json]
+  python scripts/parity_ab_study.py --seeds 3 [--steps 300] ...
+
+``--seeds N`` makes the chaos argument statistical (VERDICT r2 weak #4):
+N independent draws — each with its own dataset seed, torch init seed, AND
+a float-chaos control (our framework re-trained from a 1e-6-perturbed
+init) — then a summary of the cross-framework delta distribution vs the
+own-chaos delta distribution. Parity holds when every seed's
+cross-framework dPSNR sits inside its chaos envelope (≤ its own-chaos
+delta, or under the 0.1 dB budget outright).
 
 Runs on CPU (both sides) so the comparison is same-hardware. Takes a few
-minutes; the torch side dominates.
+minutes per seed; the torch side dominates.
 """
 
 from __future__ import annotations
@@ -89,6 +98,13 @@ def main(argv=None):
                          "yardstick: if control deltas ≈ cross-framework "
                          "deltas, divergence is float-chaos, not bias)")
     ap.add_argument("--perturb", type=float, default=1e-6)
+    ap.add_argument("--seeds", type=int, default=1,
+                    help=">1: statistical sweep — N independent (dataset, "
+                         "torch-init) draws, each with a chaos control; "
+                         "emits a distribution summary")
+    ap.add_argument("--torch_seed", type=int, default=1,
+                    help="reference-init seed (single-run mode; the sweep "
+                         "derives one per draw)")
     args = ap.parse_args(argv)
 
     if args.patch >= args.cube:
@@ -99,7 +115,72 @@ def main(argv=None):
     if not os.path.exists(os.path.join(REFERENCE, "model.py")):
         raise SystemExit("reference checkout not available at /root/reference")
 
-    rng = np.random.RandomState(args.seed)
+    if args.seeds > 1:
+        return run_sweep(args)
+    return run_study(args, args.seed, args.torch_seed)
+
+
+def run_sweep(args):
+    """N independent draws of run_study (each with the chaos control) and a
+    distribution summary over cross-framework vs own-chaos deltas."""
+    runs = []
+    for i in range(args.seeds):
+        seed = args.seed + i
+        print(f"\n===== sweep draw {i + 1}/{args.seeds} "
+              f"(dataset seed {seed}, torch seed {seed}) =====")
+        import copy
+
+        a = copy.copy(args)
+        a.control = True
+        a.out = ""
+        runs.append(run_study(a, seed, torch_seed=seed))
+
+    cross = [r["delta_psnr_db"] for r in runs]
+    own = [r["control"]["delta_psnr_db"] for r in runs]
+    cross_out = [r["trained_output_cross_psnr_db"] for r in runs]
+    own_out = [r["control"]["cross_psnr_db"] for r in runs]
+    per_seed = []
+    for r in runs:
+        inside = (r["delta_psnr_db"] <= r["control"]["delta_psnr_db"]
+                  or r["delta_psnr_db"] <= r["budget"]["psnr_db"])
+        per_seed.append({
+            "seed": r["seed"],
+            "cross_delta_psnr_db": r["delta_psnr_db"],
+            "own_chaos_delta_psnr_db": r["control"]["delta_psnr_db"],
+            "cross_delta_ssim": r["delta_ssim"],
+            "own_chaos_delta_ssim": r["control"]["delta_ssim"],
+            "trained_output_cross_psnr_db": r["trained_output_cross_psnr_db"],
+            "own_chaos_output_cross_psnr_db": r["control"]["cross_psnr_db"],
+            "inside_envelope": bool(inside),
+        })
+    summary = {
+        "workload": runs[0]["workload"],
+        "draws": args.seeds,
+        "per_seed": per_seed,
+        "cross_delta_psnr_db": {"min": min(cross), "max": max(cross),
+                                "mean": float(np.mean(cross))},
+        "own_chaos_delta_psnr_db": {"min": min(own), "max": max(own),
+                                    "mean": float(np.mean(own))},
+        "trained_output_cross_psnr_db": {"min": min(cross_out),
+                                         "max": max(cross_out)},
+        "own_chaos_output_cross_psnr_db": {"min": min(own_out),
+                                           "max": max(own_out)},
+        "all_inside_envelope": all(p["inside_envelope"] for p in per_seed),
+    }
+    print("\n===== sweep summary =====")
+    print(json.dumps(summary, indent=2))
+    verdict = "INSIDE" if summary["all_inside_envelope"] else "OUTSIDE"
+    print(f"CHAOS ENVELOPE {verdict}: cross dPSNR "
+          f"[{min(cross):.3f}, {max(cross):.3f}] dB vs own-chaos "
+          f"[{min(own):.3f}, {max(own):.3f}] dB over {args.seeds} draws")
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(summary, fh, indent=2)
+    return summary
+
+
+def run_study(args, seed, torch_seed=1):
+    rng = np.random.RandomState(seed)
     tmp = tempfile.mkdtemp(prefix="parity_ab_")
     for sub in ("low/train", "low/test", "high/test", "out_ref", "out_ours"):
         os.makedirs(os.path.join(tmp, sub), exist_ok=True)
@@ -121,7 +202,7 @@ def main(argv=None):
     ref_cls = load_reference_model_cls()
     import utils as ref_utils
 
-    torch.manual_seed(1)
+    torch.manual_seed(torch_seed)
     ref = ref_cls(input_channels=args.channels, lr=args.lr,
                   device=torch.device("cpu"))
     ref_train = [
@@ -269,6 +350,8 @@ def main(argv=None):
     report = {
         "workload": f"steps{args.steps}_b{args.batch}_p{args.patch}"
                     f"_c{args.channels}_cube{args.cube}",
+        "seed": seed,
+        "torch_seed": torch_seed,
         "loader_max_abs_delta": load_delta,
         "metrics": res,
         "delta_psnr_db": abs(res["ours"]["psnr"] - res["reference"]["psnr"]),
