@@ -13,7 +13,12 @@ deployment sees, unlike bench.py --extra's pure device forward.
 
 Usage:
   python scripts/serve_bench.py [--size 256] [--channels 64]
-         [--requests 48] [--threads 8] [--quantize int8] [--device cpu]
+         [--requests 48] [--threads 1,4,16] [--quantize int8] [--device cpu]
+
+``--threads`` takes a comma list: every sequential/micro-batch case runs at
+each concurrency level (the client-sweep grid of docs/PERFORMANCE.md's
+Serving section). A cold-bucket case reports the first-request latency at an
+unwarmed shape (compile + bucket build) vs the warmed steady state.
 """
 
 from __future__ import annotations
@@ -75,12 +80,37 @@ def run_case(cfg_kwargs, size, channels, requests, threads, label):
     }
 
 
+def cold_bucket_case(size, channels):
+    """First-request latency at an UNWARMED shape bucket (includes jit
+    compile + bucket setup) vs the immediate second request — the number a
+    deployment sees when a new capture size first arrives."""
+    from sshslie_tpu.config import Config
+    from sshslie_tpu.serve import EnhanceService
+
+    cfg = Config(channels=channels, normalization="global_normalization",
+                 global_min=0.0, global_max=4095.0, serve_max_batch=1)
+    service = EnhanceService(cfg, channels)
+    service.warmup([(size, size)])
+    rng = np.random.RandomState(1)
+    cold = rng.rand(size + 64, size + 64, channels).astype(np.float32) * 4000.0
+    t0 = time.perf_counter()
+    service.enhance(cold)
+    first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    service.enhance(cold)
+    second = time.perf_counter() - t0
+    return {"case": f"cold_bucket_{size + 64}",
+            "first_request_s": round(first, 2),
+            "warmed_request_ms": round(second * 1e3, 1)}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--requests", type=int, default=48)
-    ap.add_argument("--threads", type=int, default=8)
+    ap.add_argument("--threads", default="1,4,16",
+                    help="comma list of concurrent client counts")
     ap.add_argument("--max_batch", type=int, default=8)
     ap.add_argument("--quantize", default="", choices=("", "int8", "fp8"))
     ap.add_argument("--device", default="", help="'cpu' forces the CPU backend")
@@ -92,6 +122,7 @@ def main(argv=None):
     if args.device:
         jax.config.update("jax_platforms", args.device)
 
+    thread_counts = [int(t) for t in str(args.threads).split(",") if t]
     cases = [
         ({"serve_max_batch": 1}, "sequential"),
         ({"serve_max_batch": args.max_batch,
@@ -101,12 +132,16 @@ def main(argv=None):
         cases.append(({"serve_max_batch": 1, "serve_quantize": args.quantize},
                       f"sequential_{args.quantize}"))
 
-    results = [run_case(kw, args.size, args.channels, args.requests,
-                        args.threads, label) for kw, label in cases]
+    results = []
+    for th in thread_counts:
+        for kw, label in cases:
+            results.append(run_case(kw, args.size, args.channels,
+                                    args.requests, th, f"{label}_t{th}"))
+    results.append(cold_bucket_case(args.size, args.channels))
     report = {
         "workload": f"{args.size}x{args.size}x{args.channels}",
         "requests": args.requests,
-        "threads": args.threads,
+        "threads": thread_counts,
         "backend": jax.default_backend(),
         "cases": results,
     }
