@@ -130,7 +130,7 @@ def test_fit_rejects_channel_mismatch(tmp_path, rng):
                  attention_impl="xla")
     cfg.finalize()
     trainer = Trainer(cfg, channels=9)
-    with pytest.raises(ValueError, match="9 channels.*have 4"):
+    with pytest.raises(ValueError, match="9 channels.*has 4"):
         trainer.fit(_store(tmp_path, rng), ckpt_dir=str(tmp_path / "ck"))
 
 
