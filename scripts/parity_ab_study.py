@@ -98,9 +98,11 @@ def main(argv=None):
                          "yardstick: if control deltas ≈ cross-framework "
                          "deltas, divergence is float-chaos, not bias)")
     ap.add_argument("--perturb", type=float, default=1e-6)
-    ap.add_argument("--controls", type=int, default=1,
+    ap.add_argument("--controls", type=int, default=None,
                     help="with --control/--seeds: K independently-perturbed "
-                         "control replicas per draw (envelope = worst of K)")
+                         "control replicas per draw (envelope = worst of K; "
+                         "each replica is a full re-train). Defaults: 1 for "
+                         "a single --control run, 3 for a --seeds sweep")
     ap.add_argument("--seeds", type=int, default=1,
                     help=">1: statistical sweep — N independent (dataset, "
                          "torch-init) draws, each with a chaos control; "
@@ -135,7 +137,7 @@ def run_sweep(args):
 
         a = copy.copy(args)
         a.control = True
-        a.controls = max(getattr(args, "controls", 1), 3)
+        a.controls = args.controls if args.controls else 3
         a.out = ""
         runs.append(run_study(a, seed, torch_seed=seed))
 
@@ -326,7 +328,8 @@ def run_study(args, seed, torch_seed=1):
     # draw is a single sample of the chaos distribution; ``--controls K``
     # trains K independently-perturbed replicas so the envelope is the max
     # over K draws, not one lucky/unlucky sample (VERDICT r2 weak #4).
-    n_controls = max(int(getattr(args, "controls", 1)), 1) if args.control else 0
+    n_controls = (max(int(getattr(args, "controls", None) or 1), 1)
+                  if args.control else 0)
     perturbed_inits = []
     for ci in range(n_controls):
         pk = jax.random.PRNGKey(99 + ci)

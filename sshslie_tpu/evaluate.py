@@ -328,12 +328,27 @@ def _inference_stream(infer, params, store: CubeStore, eval_batch: int,
     for idxs in groups.values():
         for lo in range(0, len(idxs), batch):
             chunk = idxs[lo : lo + batch]
-            start = time.time() if timed else 0.0
+            # Host loads/stacking happen OUTSIDE the timed window — the
+            # reference times only the forward (model.py:417-420), and on a
+            # LazyCubeStore the disk read would otherwise dominate the
+            # reported per-image seconds.
             if len(chunk) == 1 and batch == 1:
-                R, I, Id, S = infer(params, store[chunk[0]])
+                cube = store[chunk[0]]
+                start = time.time() if timed else 0.0
+                R, I, Id, S = infer(params, cube)
                 outs = [(R, I, Id, S)]
             else:
                 stack = np.stack([store[i] for i in chunk])
+                pad = batch - len(chunk)
+                if pad:
+                    # One jit bucket per shape group: remainder chunks are
+                    # zero-padded to the full eval_batch (same policy as
+                    # serve.py's _run_batch) instead of compiling a separate
+                    # full-model program per chunk length.
+                    stack = np.concatenate(
+                        [stack, np.zeros((pad, *stack.shape[1:]), stack.dtype)]
+                    )
+                start = time.time() if timed else 0.0
                 R, I, Id, S = infer.batched(params, stack)
                 outs = [(R[j], I[j], Id[j], S[j]) for j in range(len(chunk))]
             if timed:

@@ -498,13 +498,14 @@ class WindowedCubeFeeder:
     windows briefly at the epoch boundary — size K accordingly.
     """
 
-    def __init__(self, store: CubeStore, k: int, place):
+    def __init__(self, store: CubeStore, k: int, place, num_epochs=None):
         from concurrent.futures import ThreadPoolExecutor
 
         self.store = store
         self.n = len(store)
         self.k = min(int(k), self.n)
         self._place = place
+        self.num_epochs = num_epochs  # known → no dead prefetch past the end
         self._pool = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="fused-window"
         )
@@ -522,7 +523,14 @@ class WindowedCubeFeeder:
             host = self._next[1].result()
         else:  # first epoch, or a resume jumped the sequence
             host = self._host_window(epoch)
-        self._next = (epoch + 1, self._pool.submit(self._host_window, epoch + 1))
+        if self.num_epochs is None or epoch + 1 < self.num_epochs:
+            self._next = (
+                epoch + 1, self._pool.submit(self._host_window, epoch + 1)
+            )
+        else:
+            # Final epoch: prefetching K more cubes from disk would be dead
+            # work that pins a full window stack in RAM until close().
+            self._next = None
         return self._place(host)
 
     def close(self) -> None:
@@ -720,7 +728,8 @@ class Trainer:
                 train_store
             ):
                 fused_feeder = WindowedCubeFeeder(
-                    train_store, cfg.fused_window, _place_fused
+                    train_store, cfg.fused_window, _place_fused,
+                    num_epochs=cfg.epoch,
                 )
             else:
                 fused_cubes = stack_cubes(train_store)

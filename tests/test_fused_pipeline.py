@@ -273,9 +273,10 @@ def test_trainer_windowed_fused_pipeline(tmp_path, rng, monkeypatch):
     assert ("fused", False) in trainer._steps
     assert len(trainer.all_epoch_losses["total_loss"]) == 3
     assert all(np.isfinite(v) for v in trainer.all_epoch_losses["total_loss"])
-    # 3 trained epochs + 1 prefetched-ahead window, 2 cubes each, LRU of 2
-    # with a disjoint next window ⇒ every window is loaded from disk.
-    assert store.load_count >= 6
+    # 3 trained epochs, 2 cubes each, LRU of 2 with disjoint rotating
+    # windows ⇒ every window is loaded from disk; no prefetch happens past
+    # the final epoch (num_epochs is passed through), so exactly 6 loads.
+    assert store.load_count == 6
 
 
 def test_windowed_resume_replays_trajectory(tmp_path, rng, monkeypatch):
