@@ -182,6 +182,11 @@ def save_hsi(
 
     ``fmt``: 'v7' (scipy), 'v7.3' (HDF5 via h5py), or 'auto' — v7 unless the
     cube exceeds scipy's 2**31-byte matrix limit.
+
+    Writes are atomic (tmp file + ``os.replace`` in the target directory):
+    a crash or preemption mid-write can never leave a torn half-cube where
+    metrics/plotting would later read it — the same contract as
+    checkpoints.py. The reference writes in place (utils.py:178).
     """
     base, _ = os.path.splitext(filepath)
     if postfix:
@@ -191,12 +196,22 @@ def save_hsi(
     data = np.asarray(data)
     if fmt == "auto":
         fmt = "v7.3" if data.nbytes >= 2**31 else "v7"
-    if fmt == "v7.3":
-        _save_mat_v73(out, data, key)
-    elif fmt == "v7":
-        sio.savemat(out, {key: data})
-    else:
-        raise ValueError(f"unknown .mat format {fmt!r} (use 'v7', 'v7.3', 'auto')")
+    tmp = out + ".tmp"
+    try:
+        if fmt == "v7.3":
+            _save_mat_v73(tmp, data, key)
+        elif fmt == "v7":
+            # appendmat=False: savemat would otherwise append '.mat' to the
+            # '.tmp' name and the rename source would not exist.
+            sio.savemat(tmp, {key: data}, appendmat=False)
+        else:
+            raise ValueError(
+                f"unknown .mat format {fmt!r} (use 'v7', 'v7.3', 'auto')"
+            )
+        os.replace(tmp, out)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return out
 
 

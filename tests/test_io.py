@@ -190,3 +190,28 @@ def test_normalization_empty_string_means_none(tmp_path, rng):
     np.testing.assert_array_equal(
         load_hsi(str(p), normalization=""), load_hsi(str(p), normalization=None)
     )
+
+
+def test_save_hsi_atomic(tmp_path, monkeypatch):
+    """save_hsi is tmp+rename atomic: a failed write leaves no .tmp debris
+    and never clobbers the previous good file."""
+    import scipy.io as sio
+
+    from sshslie_tpu.utils import io_hsi
+
+    out = str(tmp_path / "cube.mat")
+    good = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    io_hsi.save_hsi(out, good)
+    assert sorted(os.listdir(tmp_path)) == ["cube.mat"]  # no stray .tmp
+
+    def boom(path, data, key):
+        with open(path, "wb") as fh:
+            fh.write(b"half-written")
+        raise OSError("disk full")
+
+    monkeypatch.setattr(io_hsi, "_save_mat_v73", boom)
+    with pytest.raises(OSError, match="disk full"):
+        io_hsi.save_hsi(out, good * 2, fmt="v7.3")
+    # previous good content intact, tmp cleaned up
+    assert sorted(os.listdir(tmp_path)) == ["cube.mat"]
+    np.testing.assert_array_equal(sio.loadmat(out)["data"], good)
