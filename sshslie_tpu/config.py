@@ -102,6 +102,7 @@ class Config:
     data_axis: str = "data"               # mesh axis name for batch sharding
     space_axis: str = ""                  # 2-D mesh: also shard patch height on this axis (e.g. 'space')
     prefetch_batches: int = 2             # host-side pipeline depth
+    data_pattern: str = "*.mat"           # dataset glob per split dir; "*.hdr" reads ENVI header/raw pairs (utils/io_envi.py)
     lazy_loading: bool = False            # disk-backed LRU cube store (datasets larger than RAM)
     cube_cache_size: int = 8              # lazy_loading: cubes kept resident
     fused_pipeline: str = "auto"          # 'auto'|'on'|'off': on-device sampling+step graph

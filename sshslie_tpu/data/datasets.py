@@ -131,6 +131,15 @@ class LazyCubeStore(CubeStore):
         self.load_count = 0  # observability: total disk loads incl. re-loads
         self.shapes: List[tuple] = []
         for f in self.files:
+            if f.lower().endswith(".hdr"):
+                # ENVI: shape comes straight from the text header.
+                from sshslie_tpu.utils.io_envi import read_envi_header
+
+                h = read_envi_header(f)
+                self.shapes.append((int(str(h["lines"])),
+                                    int(str(h["samples"])),
+                                    int(str(h["bands"]))))
+                continue
             try:
                 entries = {n: s for n, s, _ in sio.whosmat(f)}
                 self.shapes.append(tuple(entries[mat_key]))
@@ -383,9 +392,14 @@ class Prefetcher:
         return False
 
 
-def store_from_config(cfg, data_path: str, pattern: str = "*.mat") -> CubeStore:
+def store_from_config(cfg, data_path: str, pattern: Optional[str] = None) -> CubeStore:
     """Build the configured store type: in-RAM (default) or disk-backed LRU
-    (``lazy_loading: true`` for datasets larger than host RAM)."""
+    (``lazy_loading: true`` for datasets larger than host RAM).
+
+    ``pattern`` None → the ``data_pattern`` config key ("*.mat" default;
+    "*.hdr" selects ENVI pairs via utils/io_envi.py)."""
+    if pattern is None:
+        pattern = getattr(cfg, "data_pattern", "*.mat") or "*.mat"
     kwargs = dict(
         mat_key=cfg.mat_key, normalization=cfg.normalization,
         global_min=cfg.global_min, global_max=cfg.global_max, pattern=pattern,

@@ -85,7 +85,12 @@ def run_test(trainer, cfg: Config) -> None:
     from sshslie_tpu.data.datasets import store_from_config
     from sshslie_tpu.evaluate import test_model
 
-    test_store = store_from_config(cfg, cfg.test_data, pattern="*.*")
+    # Reference parity keeps the loose "*.*" test glob for .mat datasets;
+    # a non-default data_pattern (e.g. "*.hdr" ENVI) must take precedence or
+    # the glob would also match the raw .img companions.
+    default_pat = getattr(cfg, "data_pattern", "*.mat") in ("", "*.mat")
+    test_store = store_from_config(
+        cfg, cfg.test_data, pattern="*.*" if default_pat else None)
     print("Found test files:", test_store.files)
     test_model(trainer, cfg.test_model_dir, test_store, cfg.test_result_dir)
 

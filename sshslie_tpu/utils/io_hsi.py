@@ -82,12 +82,21 @@ def load_hsi(
     min_val: Optional[float] = None,
     rescale_by_max: bool = True,
 ) -> np.ndarray:
-    """Load an (H, W, C) float32 cube from a MATLAB ``.mat`` file.
+    """Load an (H, W, C) float32 cube from a MATLAB ``.mat`` file — or,
+    for ``.hdr`` paths, from an ENVI header/raw pair (utils/io_envi.py;
+    net-new, the reference reads .mat only).
 
     Normalization modes and the trailing divide-by-max match reference
     utils.py:36-57 exactly (including the clamp of negatives to zero after
     global normalization, reference utils.py:47).
     """
+    if file.lower().endswith(".hdr"):
+        from sshslie_tpu.utils.io_envi import load_envi
+
+        return normalize_like_load(
+            load_envi(file), normalization, max_val=max_val, min_val=min_val,
+            rescale_by_max=rescale_by_max,
+        )
     try:
         mat = sio.loadmat(file)
     except (NotImplementedError, ValueError):
