@@ -284,16 +284,26 @@ def check_misregistration_hsi(
     ``out_csv``). Preview PNGs are emitted only for flagged pairs.
     """
     opts = opts or AlignOptions()
+
+    def _cubes(root: str) -> List[str]:
+        # .mat plus ENVI .hdr pairs (load_hsi dispatches on the extension)
+        return sorted(
+            glob(os.path.join(root, "**", "*.mat"), recursive=True)
+            + glob(os.path.join(root, "**", "*.hdr"), recursive=True)
+        )
+
     low_files = {os.path.splitext(os.path.basename(f))[0].lower(): f
-                 for f in sorted(glob(os.path.join(low_dir, "**", "*.mat"), recursive=True))}
-    gt_files = sorted(glob(os.path.join(gt_dir, "**", "*.mat"), recursive=True))
+                 for f in _cubes(low_dir)}
+    gt_files = _cubes(gt_dir)
     pairs = [
         (low_files[os.path.splitext(os.path.basename(g))[0].lower()], g)
         for g in gt_files
         if os.path.splitext(os.path.basename(g))[0].lower() in low_files
     ]
     if not pairs:
-        raise ValueError(f"No matching .mat filenames between {low_dir} and {gt_dir}")
+        raise ValueError(
+            f"No matching cube filenames (.mat/.hdr) between {low_dir} and {gt_dir}"
+        )
     if opts.verbose:
         print(f"Found {len(pairs)} matching pairs.")
 

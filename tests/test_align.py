@@ -226,3 +226,25 @@ def test_pca_projection_sign_deterministic(rng):
         mean_proj = c.mean(axis=2)
         corr = np.corrcoef(proj.ravel(), mean_proj.ravel())[0, 1]
         assert corr > 0.5
+
+
+def test_batch_checker_accepts_envi_pairs(tmp_path, rng):
+    """ENVI .hdr inputs pair by basename and align like .mat cubes."""
+    from sshslie_tpu.utils.io_envi import save_envi
+
+    low_dir = tmp_path / "low_e"
+    gt_dir = tmp_path / "gt_e"
+    low_dir.mkdir(); gt_dir.mkdir()
+    base = _scene(rng)
+    cube_gt = np.stack([base * (1 + 0.1 * b) for b in range(4)], axis=-1)
+    shifted = np.roll(cube_gt, (-4, -5), axis=(0, 1))
+    save_envi(str(gt_dir / "cap"), cube_gt.astype(np.float32))
+    save_envi(str(low_dir / "cap"), (shifted * 0.3).astype(np.float32),
+              interleave="bil")
+    results = check_misregistration_hsi(
+        str(low_dir), str(gt_dir), str(tmp_path / "r.csv"),
+        opts=AlignOptions(verbose=False),
+    )
+    assert len(results) == 1
+    assert results[0].flag_misaligned
+    assert results[0].shift_px == pytest.approx(np.hypot(4, 5), abs=1.0)
