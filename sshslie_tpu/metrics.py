@@ -20,15 +20,20 @@ or a (min, max) clamp pair — matching torchmetrics'
 ``peak_signal_noise_ratio``. SAM is the per-pixel spectral angle in radians,
 mean-reduced, matching ``spectral_angle_mapper``.
 
-Everything is jitted and runs on-device; :func:`calc_metrics` is the directory
-walker with the same pairing-by-basename contract as reference
-metrics.py:101-141 (with the Windows-only path split fixed, SURVEY.md §2.4.3).
+The pairwise metrics (psnr/ssim/sam) are jitted shape×range-keyed — an eval
+epoch over a uniform dataset compiles once and dispatches one fused program
+per pair instead of dozens of eager ops (each a round-trip on relayed
+transports). The bandwise variants stay eager (offline plotting tools).
+:func:`calc_metrics` is the directory walker with the same
+pairing-by-basename contract as reference metrics.py:101-141 (with the
+Windows-only path split fixed, SURVEY.md §2.4.3).
 """
 
 from __future__ import annotations
 
 import glob as _glob
 import os
+from functools import partial
 from typing import Optional, Tuple, Union
 
 import jax
@@ -66,13 +71,26 @@ def _apply_range(pred: jnp.ndarray, target: jnp.ndarray, data_range: DataRange,
     return pred, target, jnp.asarray(data_range, dtype=pred.dtype)
 
 
-def psnr(pred: jnp.ndarray, target: jnp.ndarray, data_range: DataRange = None) -> jnp.ndarray:
-    """10·log10(range²/mse) over the whole tensor (torchmetrics semantics)."""
-    pred = jnp.asarray(pred, jnp.float32)
-    target = jnp.asarray(target, jnp.float32)
+def _hashable_range(data_range: DataRange):
+    """data_range as a jit-static: lists become tuples (hashable); every
+    metric is jitted shape×range-keyed so eval over a uniform dataset
+    compiles once instead of dispatching dozens of eager ops per pair
+    through the (round-trip-expensive) relay."""
+    return tuple(data_range) if isinstance(data_range, list) else data_range
+
+
+@partial(jax.jit, static_argnames="data_range")
+def _psnr_core(pred, target, data_range):
     pred, target, rng = _apply_range(pred, target, data_range, kind="psnr")
     mse = jnp.mean((pred - target) ** 2)
     return 10.0 * jnp.log10(rng**2 / mse)
+
+
+def psnr(pred: jnp.ndarray, target: jnp.ndarray, data_range: DataRange = None) -> jnp.ndarray:
+    """10·log10(range²/mse) over the whole tensor (torchmetrics semantics)."""
+    return _psnr_core(jnp.asarray(pred, jnp.float32),
+                      jnp.asarray(target, jnp.float32),
+                      _hashable_range(data_range))
 
 
 def _gaussian_kernel1d(size: int, sigma: float) -> jnp.ndarray:
@@ -122,12 +140,8 @@ def _ssim_map(
     return upper / lower
 
 
-def _ssim_nchw(
-    pred: jnp.ndarray, target: jnp.ndarray, data_range: DataRange
-) -> jnp.ndarray:
-    """SSIM of (N, C, H, W) tensors, torchmetrics reduction (mean over all)."""
-    pred = jnp.asarray(pred, jnp.float32)
-    target = jnp.asarray(target, jnp.float32)
+@partial(jax.jit, static_argnames="data_range")
+def _ssim_nchw_core(pred, target, data_range):
     pred, target, rng = _apply_range(pred, target, data_range, kind="ssim")
     n, c, h, w = pred.shape
     # torchmetrics errors when the window exceeds the image; we shrink it to
@@ -139,6 +153,15 @@ def _ssim_nchw(
                      kernel_size=k)
     # torchmetrics means each image over channels+positions, then over batch.
     return jnp.mean(maps)
+
+
+def _ssim_nchw(
+    pred: jnp.ndarray, target: jnp.ndarray, data_range: DataRange
+) -> jnp.ndarray:
+    """SSIM of (N, C, H, W) tensors, torchmetrics reduction (mean over all)."""
+    return _ssim_nchw_core(jnp.asarray(pred, jnp.float32),
+                           jnp.asarray(target, jnp.float32),
+                           _hashable_range(data_range))
 
 
 def ssim(pred: jnp.ndarray, target: jnp.ndarray, data_range: DataRange = None) -> jnp.ndarray:
@@ -170,8 +193,12 @@ def sam(
     Matches torchmetrics ``spectral_angle_mapper`` on the reference's
     (1, C, H, W) layout (reference metrics.py:31-34).
     """
-    pred = jnp.asarray(pred, jnp.float32)
-    target = jnp.asarray(target, jnp.float32)
+    return _sam_core(jnp.asarray(pred, jnp.float32),
+                     jnp.asarray(target, jnp.float32), reduction)
+
+
+@partial(jax.jit, static_argnames="reduction")
+def _sam_core(pred, target, reduction):
     dot = jnp.sum(pred * target, axis=-1)
     denom = jnp.linalg.norm(pred, axis=-1) * jnp.linalg.norm(target, axis=-1)
     angle = jnp.arccos(jnp.clip(dot / denom, -1.0, 1.0))
@@ -237,6 +264,11 @@ def calc_metrics(
         data_range = (data_min, data_max)
     elif data_max is not None:
         data_range = data_max
+    elif data_min is not None:
+        raise ValueError(
+            "data_min without data_max is ambiguous (torchmetrics clamp "
+            "semantics need the pair); pass both or neither"
+        )
 
     total = np.zeros(3, dtype=np.float64)
     n = 0
@@ -281,6 +313,11 @@ def multi_img_bandwise_metrics(
         data_range = (data_min, data_max)
     elif data_max is not None:
         data_range = data_max
+    elif data_min is not None:
+        raise ValueError(
+            "data_min without data_max is ambiguous (torchmetrics clamp "
+            "semantics need the pair); pass both or neither"
+        )
 
     preds = sorted(_glob.glob(os.path.join(preds_path, "*.mat")))
     psnr_sum = ssim_sum = None

@@ -163,7 +163,14 @@ class MLflowShim:
                     self._backend = mlflow
                 else:
                     self._backend = LocalRunTracker(local_root)
-            except ImportError:
+            except Exception as e:  # noqa: BLE001 — a broken install may
+                # raise anything at import time (protobuf/pydantic version
+                # conflicts raise TypeError/ValidationError, not
+                # ImportError); 'training never depends on the tracking
+                # backend' must hold for those too.
+                if not isinstance(e, ImportError):
+                    print(f"mlflow import failed ({type(e).__name__}: {e}); "
+                          "using the file tracker")
                 self._backend = LocalRunTracker(local_root)
 
     @property

@@ -34,7 +34,6 @@ import hmac
 import io
 import json
 import os
-import tempfile
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -188,11 +187,13 @@ class EnhanceService:
         self.checkpoint_path = checkpoint_path
         self.reload_count = 0
         self.quantize = cfg.serve_quantize
+        # Validate BEFORE quantizing: the config error must not follow a
+        # full param-tree quantization + device transfer + success banner.
+        if mesh is not None and self.quantize:
+            raise ValueError("serve_quantize is single-chip only")
         if self.quantize:
             self.params = self._quantized(self.params)
         if mesh is not None:
-            if self.quantize:
-                raise ValueError("serve_quantize is single-chip only")
             self._infer = ShardedInferencer(self.model, mesh, cfg.data_axis)
             # ShardedInferencer pads internally per its mesh; bucket on top.
         elif self.quantize:
@@ -397,31 +398,25 @@ class EnhanceService:
 
 
 def _load_cube_bytes(body: bytes, key: str) -> np.ndarray:
-    """Parse a .mat payload (v7 via scipy from memory; v7.3 via temp file)."""
-    import scipy.io as sio
+    """Parse a .mat payload — io_hsi owns the v7/v7.3 dispatch (one copy of
+    the format logic; h5py reads the v7.3 case straight from memory)."""
+    return io_hsi.load_hsi_bytes(body, mat_key=key)
 
-    try:
-        mat = sio.loadmat(io.BytesIO(body))
-        if key not in mat:
-            raise KeyError(
-                f"variable {key!r} not found; available: "
-                f"{[k for k in mat if not k.startswith('__')]}"
-            )
-        return np.asarray(mat[key], dtype=np.float32)
-    except (NotImplementedError, ValueError):
-        with tempfile.NamedTemporaryFile(suffix=".mat", delete=False) as fh:
-            fh.write(body)
-            tmp = fh.name
-        try:
-            return io_hsi.load_hsi(tmp, mat_key=key, normalization=None)
-        finally:
-            os.unlink(tmp)
+
+# Upper bound on request bodies (covers 1024²×224 float64 cubes with
+# headroom). Streaming larger captures should go through the filesystem
+# API surfaces, not one HTTP body.
+_MAX_BODY_BYTES = 4 << 30
 
 
 def _make_handler(service: EnhanceService):
     cfg = service.cfg
 
     class Handler(BaseHTTPRequestHandler):
+        # Socket read timeout: a stalled upload must release its handler
+        # thread instead of pinning it (and its buffered body) forever.
+        timeout = 120
+
         # Quiet the default per-request stderr lines.
         def log_message(self, fmt, *args):  # noqa: N802
             pass
@@ -502,12 +497,23 @@ def _make_handler(service: EnhanceService):
             if length <= 0:
                 self._json(400, {"error": "empty body; POST a .mat file"})
                 return
+            if length > _MAX_BODY_BYTES:
+                # 413 before reading: a multi-GB Content-Length must not
+                # commit the server to buffering it.
+                self._json(413, {
+                    "error": f"body of {length} bytes exceeds the "
+                             f"{_MAX_BODY_BYTES >> 20} MiB limit"
+                })
+                return
             body = self.rfile.read(length)
             try:
                 cube = _load_cube_bytes(body, key)
                 result = service.enhance(cube, artifacts=artifacts)
             except (KeyError, ValueError) as e:
-                self._json(400, {"error": str(e)})
+                # str(KeyError) is the repr of its argument — unwrap so the
+                # client sees the message, not a quoted-inside-quoted string.
+                msg = e.args[0] if isinstance(e, KeyError) and e.args else str(e)
+                self._json(400, {"error": msg})
                 return
             except Exception as e:  # noqa: BLE001 — client must get an HTTP error,
                 # not a reset socket (corrupt files, device failures, ...).
@@ -545,6 +551,7 @@ class EnhanceServer:
         self._thread: Optional[threading.Thread] = None
 
     def start(self) -> "EnhanceServer":
+        self._serving = True
         self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
         self._thread.start()
         return self
@@ -552,10 +559,15 @@ class EnhanceServer:
     def serve_forever(self) -> None:
         print(f"Serving on http://{self.host}:{self.port} "
               f"(buckets of {self.service.pad_multiple}px)")
+        self._serving = True
         self.httpd.serve_forever()
 
     def shutdown(self) -> None:
-        self.httpd.shutdown()
+        # socketserver's shutdown() waits on an event only serve_forever()
+        # sets — calling it on a built-but-never-started server deadlocks
+        # the caller (e.g. an error path between construction and start).
+        if getattr(self, "_serving", False):
+            self.httpd.shutdown()
         self.httpd.server_close()
         if self.service.batcher is not None:
             # Without this the batcher loop thread outlives the server and

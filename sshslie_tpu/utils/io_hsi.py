@@ -37,10 +37,11 @@ def _load_mat_v73(file: str, mat_key: str) -> np.ndarray:
     """
     import h5py
 
+    name = file if isinstance(file, str) else "<in-memory .mat>"
     with h5py.File(file, "r") as fh:
         if mat_key not in fh:
             raise KeyError(
-                f"{file}: variable {mat_key!r} not found; available: "
+                f"{name}: variable {mat_key!r} not found; available: "
                 f"{[k for k in fh.keys() if not k.startswith('#')]}"
             )
         arr = np.asarray(fh[mat_key])
@@ -117,6 +118,25 @@ def load_hsi(
         x, normalization, max_val=max_val, min_val=min_val,
         rescale_by_max=rescale_by_max,
     )
+
+
+def load_hsi_bytes(body: bytes, mat_key: str = "data") -> np.ndarray:
+    """Parse an in-memory ``.mat`` payload (v7 via scipy, v7.3 via h5py on a
+    BytesIO) with the same dispatch and key-missing diagnostics as
+    :func:`load_hsi`; no normalization. Used by the serving HTTP layer."""
+    import io as _io
+
+    try:
+        mat = sio.loadmat(_io.BytesIO(body))
+    except (NotImplementedError, ValueError):
+        return np.asarray(_load_mat_v73(_io.BytesIO(body), mat_key),
+                          dtype=np.float32)
+    if mat_key not in mat:
+        raise KeyError(
+            f"variable {mat_key!r} not found; available: "
+            f"{[k for k in mat if not k.startswith('__')]}"
+        )
+    return np.asarray(mat[mat_key], dtype=np.float32)
 
 
 def load_cube_specs(specs, mat_key: str = "data") -> dict:
