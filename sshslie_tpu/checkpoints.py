@@ -45,6 +45,12 @@ def save_checkpoint(path: str, params: Any, opt_state: Any, epoch: int) -> str:
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:
         fh.write(blob)
+        # fsync before the rename: without it a power loss can commit the
+        # rename metadata while the data blocks never reach disk, leaving a
+        # zero-length "atomic" checkpoint (ext4 ordered/writeback both allow
+        # this). The rename alone only protects against process crashes.
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(tmp, path)
     print(f"Checkpoint saved at {path}")
     return path

@@ -142,8 +142,16 @@ class LazyCubeStore(CubeStore):
                 continue
             try:
                 entries = {n: s for n, s, _ in sio.whosmat(f)}
+                if mat_key not in entries:
+                    # Same diagnosable message as the eager load_hsi path —
+                    # a bare KeyError from a valid v5 file would lose the
+                    # filename and the available-variables list.
+                    raise KeyError(
+                        f"{f}: variable {mat_key!r} not found; available: "
+                        f"{sorted(entries)}"
+                    )
                 self.shapes.append(tuple(entries[mat_key]))
-            except (NotImplementedError, ValueError, KeyError):
+            except (NotImplementedError, ValueError):
                 # v7.3 (HDF5): the dataset shape is in the header — read it
                 # without touching pixel data (axes arrive reversed).
                 import h5py
@@ -229,12 +237,9 @@ class PatchSampler:
         self.batch_size = batch_size
         self.patch_size = patch_size
         self.rng = np.random.default_rng(seed)
-        # Shape validation without loading pixels when the store can tell us
-        # (LazyCubeStore reads shapes from the .mat headers).
-        shapes = getattr(store, "shapes", None)
-        if shapes is None:
-            shapes = [c.shape for c in store.cubes]
-        for i, (h, w, *_rest) in enumerate(shapes):
+        # Shape validation without loading pixels — every store type exposes
+        # .shapes (LazyCubeStore reads them from the file headers).
+        for i, (h, w, *_rest) in enumerate(store.shapes):
             if h < patch_size or w < patch_size:
                 raise ValueError(
                     f"cube {store.files[i]} ({h}×{w}) is smaller than "
@@ -275,9 +280,7 @@ class PatchSampler:
         call sequence of ``sample_batch`` — same bounds, shapes only.
         """
         b, p = self.batch_size, self.patch_size
-        shapes = getattr(self.store, "shapes", None)
-        if shapes is None:
-            shapes = [c.shape for c in self.store.cubes]
+        shapes = self.store.shapes
         n_cubes = len(self.store)
         for _ in range(max(int(n), 0)):
             for batch_id in range(self.num_batches):
