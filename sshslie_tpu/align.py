@@ -28,7 +28,7 @@ import numpy as np
 import scipy.io as sio
 import scipy.ndimage as ndi
 
-from sshslie_tpu.utils.io_hsi import load_hsi
+from sshslie_tpu.utils.io_hsi import load_hsi, save_hsi
 
 
 # ---------------------------------------------------------------------------
@@ -48,9 +48,12 @@ def project_2d(cube: np.ndarray, method: str = "median", band: int = 0) -> np.nd
         h, w, c = cube.shape
         x = cube.reshape(-1, c).astype(np.float64)
         x = x - x.mean(axis=0)
-        # First left singular vector = PC-1 scores of the pixels.
-        u, _, _ = np.linalg.svd(x, full_matrices=False)
-        img = u[:, 0].reshape(h, w)
+        # PC-1 scores via the C×C covariance eigenvector — identical (up to
+        # sign, anchored below) to the first left singular vector, without
+        # the H·W×C SVD whose U allocation alone is ~10 GB for a
+        # 2048²×300 cube.
+        _, vecs = np.linalg.eigh(x.T @ x)
+        img = (x @ vecs[:, -1]).reshape(h, w)
         # SVD sign is data-dependent; anchor it to the mean projection so the
         # low and GT cubes project with the same polarity — otherwise phase
         # correlation runs on anti-correlated images and the shift is bogus.
@@ -292,8 +295,18 @@ def check_misregistration_hsi(
             + glob(os.path.join(root, "**", "*.hdr"), recursive=True)
         )
 
-    low_files = {os.path.splitext(os.path.basename(f))[0].lower(): f
-                 for f in _cubes(low_dir)}
+    low_files = {}
+    for f in _cubes(low_dir):
+        stem = os.path.splitext(os.path.basename(f))[0].lower()
+        if stem in low_files:
+            # Recursive glob can surface basename collisions (same stem in
+            # two subdirs, or foo.mat next to foo.hdr) — pairing is by
+            # basename, so a silent overwrite would align GT cubes against
+            # the wrong file. Keep the first (sorted) and say so.
+            print(f"warning: duplicate cube basename {stem!r}: keeping "
+                  f"{low_files[stem]}, ignoring {f}")
+            continue
+        low_files[stem] = f
     gt_files = _cubes(gt_dir)
     pairs = [
         (low_files[os.path.splitext(os.path.basename(g))[0].lower()], g)
@@ -363,8 +376,11 @@ def check_misregistration_hsi(
                      for b in range(low.shape[2])], axis=-1,
                 ).astype(np.float32)
                 base = os.path.splitext(os.path.basename(f_low))[0]
-                sio.savemat(os.path.join(opts.save_aligned_dir, base + ".mat"),
-                            {opts.mat_key: aligned})
+                # save_hsi, not raw savemat: atomic tmp+rename, and cubes
+                # past scipy's 2**31-byte limit auto-route to v7.3 (the
+                # loader above advertises reading such cubes).
+                save_hsi(os.path.join(opts.save_aligned_dir, base + ".mat"),
+                         aligned, key=opts.mat_key)
         except Exception as e:  # keep batch going like the MATLAB try/catch
             print(f"Failed on pair {f_low} | {f_gt}: {e}")
         results.append(res)

@@ -193,7 +193,18 @@ def _check_gt_pairing(cfg, rep: Report, pred_store, label_dir: str,
 def _check_checkpoints(cfg, rep: Report) -> None:
     from glob import glob
 
-    need = cfg.resume or cfg.phase == "test"
+    need = cfg.resume or cfg.phase in ("test", "serve")
+    if cfg.phase in ("test", "serve") and cfg.test_timestamp:
+        # test/serve load a SPECIFIC run's latest checkpoint — check that
+        # one, not "any run has a checkpoint".
+        specific = os.path.join(cfg.test_model_dir, "model_epoch_latest.ckpt")
+        if os.path.exists(specific):
+            rep.ok("checkpoints", specific)
+        else:
+            rep.fail("checkpoints",
+                     f"phase={cfg.phase} with test_timestamp="
+                     f"{cfg.test_timestamp} needs {os.path.abspath(specific)}")
+        return
     pattern = os.path.join(cfg.model_ckpt_dir, "Decomposition_*",
                            "model_epoch_latest.ckpt")
     found = glob(pattern)

@@ -154,9 +154,13 @@ def main(cfg: Config) -> None:
             mesh = make_mesh(cfg.mesh_shape)
             print("Mesh:", mesh)
 
-        # Channel inference from the first training cube (reference main.py:214-223).
+        # Channel inference from the first training cube (reference
+        # main.py:214-223) — through data_pattern, not a loose "*.*": a
+        # stray notes.txt (or an ENVI raw companion sorting before its
+        # .hdr) must not crash startup.
         channels = cfg.channels
-        train_files = sorted(glob(os.path.join(cfg.train_data, "*.*")))
+        pattern = getattr(cfg, "data_pattern", "*.mat") or "*.mat"
+        train_files = sorted(glob(os.path.join(cfg.train_data, pattern)))
         if channels is None:
             if not train_files:
                 print("No training files found.")
@@ -173,6 +177,12 @@ def main(cfg: Config) -> None:
         mlflow = MLflowShim(enabled=cfg.use_mlflow)
         trainer = _build_trainer(cfg, channels, mesh, mlflow)
 
+        if cfg.pretrained_model and not os.path.exists(cfg.pretrained_model):
+            # A typo'd explicit path must not silently train from random
+            # init for hours; only '' means "no warm start".
+            raise FileNotFoundError(
+                f"pretrained_model {cfg.pretrained_model!r} does not exist"
+            )
         if cfg.pretrained_model and os.path.exists(cfg.pretrained_model):
             print(f"Loading pretrained model from: {cfg.pretrained_model}")
             trainer.load_pretrained(cfg.pretrained_model)

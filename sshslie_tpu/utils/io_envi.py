@@ -50,11 +50,22 @@ def read_envi_header(hdr_path: str) -> Dict[str, object]:
     if not text.lstrip().upper().startswith("ENVI"):
         raise ValueError(f"{hdr_path}: missing ENVI header magic")
     fields: Dict[str, object] = {}
-    # Collapse { ... } blocks (possibly multi-line) first.
+    # Collapse { ... } blocks (possibly multi-line) first, then BLANK their
+    # spans: a '=' inside a description block would otherwise also match
+    # the scalar pass and could shadow a real field (e.g. "samples = ..."
+    # prose inside the description vs the real samples line).
+    spans = []
     for m in re.finditer(r"(?im)^\s*([^={}\n]+?)\s*=\s*\{(.*?)\}", text,
                          re.DOTALL):
         key = m.group(1).strip().lower()
         fields[key] = [v.strip() for v in m.group(2).split(",") if v.strip()]
+        spans.append(m.span())
+    chars = list(text)
+    for lo, hi in spans:
+        for i in range(lo, hi):
+            if chars[i] != "\n":
+                chars[i] = " "
+    text = "".join(chars)
     for m in re.finditer(r"(?im)^\s*([^={}\n]+?)\s*=\s*([^{\n]+?)\s*$", text):
         key = m.group(1).strip().lower()
         if key not in fields:

@@ -25,11 +25,16 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import matplotlib
 
-if not os.environ.get("DISPLAY") and not os.environ.get("MPLBACKEND"):
-    # Headless default — but do NOT force Agg when a display exists:
+import sys as _sys
+
+if (_sys.platform.startswith("linux") and not os.environ.get("DISPLAY")
+        and not os.environ.get("MPLBACKEND")):
+    # Headless default — but do NOT force Agg when a display could exist:
     # inspect_spectra imports this module, and an unconditional use("Agg")
-    # here made its interactive probes (PARITY M6) silently dead on GUI
-    # machines.
+    # made its interactive probes (PARITY M6) silently dead on GUI
+    # machines. DISPLAY is an X11 concept, so the check only applies on
+    # Linux; macOS/Windows GUI sessions have no DISPLAY and must keep
+    # matplotlib's own backend resolution.
     matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 import numpy as np  # noqa: E402
@@ -94,7 +99,12 @@ def compute_display_params(
 
     method 'fixedMax' uses the global min/max; 'percentile' clips at ``pct``.
     """
-    chans = [np.stack([c[..., b] for c in cubes]) for b in band_idx]
+    # Raveled concatenation, not np.stack: the cube set may mix spatial
+    # sizes (e.g. a capture and its GT differing by a few pixels — exactly
+    # the data the aligner exists for) and the reductions don't need a
+    # common grid.
+    chans = [np.concatenate([np.ravel(c[..., b]) for c in cubes])
+             for b in band_idx]
     if method == "fixedMax":
         mins = np.array([ch.min() for ch in chans])
         maxs = np.array([ch.max() for ch in chans])
