@@ -113,7 +113,7 @@ class Config:
     log_every_step: int = 0               # 0 = per-epoch logging only (avoid device→host syncs)
     checkpoint_keep: int = 0              # 0 = keep all periodic checkpoints
     use_mlflow: bool = True               # no-op shim if mlflow isn't installed
-    jit_cache_dir: str = "~/.cache/sshslie_tpu/xla"  # persistent XLA compilation cache ('' = disabled)
+    jit_cache_dir: str = "~/.cache/sshslie_tpu/xla"  # persistent XLA compilation cache ('' = disabled); literal kept in sync with utils/jit_cache.DEFAULT_DIR (importing it here would pull jax into config import)
     profile_dir: str = ""                 # write a jax.profiler trace here when set
     eval_pad_multiple: int = 1            # >1: edge-pad H,W to a multiple for bucketed jit shapes
     eval_batch: int = 1                   # >1: stack same-shape cubes into one eval/test forward dispatch

@@ -167,8 +167,12 @@ def export_torch_checkpoint(params: Dict[str, Any], out_path: str,
     import torch
 
     sd = flax_params_to_torch_state_dict(params)
+    # Only the parameter COUNT matters for the emitted (empty) state dict —
+    # 1-element dummies avoid cloning every model tensor, and building a
+    # real Adam (vs a hand-written literal) keeps the group-options schema
+    # correct across torch versions.
     opt = torch.optim.Adam(
-        [torch.nn.Parameter(t.clone()) for t in sd.values()], lr=lr
+        [torch.nn.Parameter(torch.zeros(1)) for _ in sd], lr=lr
     )
     payload: Dict[str, Any] = {
         "model_state_dict": sd,

@@ -52,6 +52,13 @@ class TransformerBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # x: (B, H, W, C) — tokens are pixels, features are channels.
         b, h, w, c = x.shape
+        if c != self.channels:
+            # Trace-time check (zero runtime cost): the field otherwise
+            # silently diverges from the runtime width.
+            raise ValueError(
+                f"TransformerBlock built for {self.channels} channels, "
+                f"got {c}"
+            )
         seq_len = h * w
         total_dim = self.num_heads * self.head_dim
         x_flat = x.reshape(b, seq_len, c)
@@ -93,6 +100,14 @@ class IllumAdjustmentNet(nn.Module):
 
     @nn.compact
     def __call__(self, I: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
+        if R.shape[-1] != self.in_channels:
+            # Trace-time check: the reference sizes conv0 from in_channels+1
+            # and errors on mismatch (model.py:125); deriving widths from
+            # the runtime shape must not silently accept a wrong R.
+            raise ValueError(
+                f"IllumAdjustmentNet built for {self.in_channels}-band R, "
+                f"got {R.shape[-1]}"
+            )
         ch, k = self.channel, self.kernel_size
         x = jnp.concatenate([R, I], axis=-1)  # (B, H, W, C+1)
         conv0 = Conv2d(ch, k, use_relu=False, dtype=self.dtype, name="conv0")(x)

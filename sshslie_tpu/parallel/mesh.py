@@ -37,7 +37,11 @@ def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
     """Build a Mesh over the given devices; default 1-D ('data',) over all."""
-    shape = parse_mesh_shape(mesh_shape)
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    # Default shape sizes to the RESOLVED devices — parse_mesh_shape('')
+    # counts the global device set, which is wrong for an explicit subset
+    # (e.g. local_devices() on a pod).
+    shape = parse_mesh_shape(mesh_shape) if mesh_shape else (devs.size,)
     if axis_names is None:
         # 2-D default data×space: the reference's workload trains at batch
         # 1-2 (config/config.yml:11), so a pure data mesh strands chips; the
@@ -53,7 +57,6 @@ def make_mesh(
         raise ValueError(
             f"axis_names {tuple(axis_names)} does not match mesh shape {shape}"
         )
-    devs = np.asarray(devices if devices is not None else jax.devices())
     n_needed = int(np.prod(shape))
     if n_needed > devs.size:
         raise ValueError(f"mesh shape {shape} needs {n_needed} devices, have {devs.size}")

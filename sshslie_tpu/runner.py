@@ -149,9 +149,15 @@ def main(cfg: Config) -> None:
 
         mesh = None
         if cfg.mesh_shape:
-            from sshslie_tpu.parallel.mesh import make_mesh
+            from sshslie_tpu.parallel.mesh import make_mesh, parse_mesh_shape
 
-            mesh = make_mesh(cfg.mesh_shape)
+            # Name the axes from the config — a non-default data_axis/
+            # space_axis must reach the Mesh, or every sharding lookup
+            # KeyErrors on the hardcoded names.
+            n_axes = len(parse_mesh_shape(cfg.mesh_shape))
+            names = ((cfg.data_axis,) if n_axes == 1
+                     else (cfg.data_axis, cfg.space_axis or "space"))
+            mesh = make_mesh(cfg.mesh_shape, axis_names=names)
             print("Mesh:", mesh)
 
         # Channel inference from the first training cube (reference

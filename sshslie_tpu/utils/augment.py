@@ -66,5 +66,10 @@ def augment_batch_jax(patches: jnp.ndarray, modes: jnp.ndarray) -> jnp.ndarray:
 
     Requires square patches (H == W) so all 8 branches have equal shapes —
     true for the training pipeline (patch_size × patch_size crops).
+    
+    Contract note: ``lax.switch`` CLAMPS out-of-range modes to [0, 7]
+    on device (no data-dependent errors under jit), whereas the host
+    ``data_augmentation`` raises — mode generators must stay in range
+    (both pipelines draw via randint(0, 8)).
     """
     return jax.vmap(_aug_one)(patches, modes)

@@ -9,7 +9,7 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-DEFAULT_DIR = "~/.cache/sshslie_tpu/xla"
+DEFAULT_DIR = "~/.cache/sshslie_tpu/xla"  # keep in sync with config.jit_cache_dir default
 
 
 def enable(cache_dir: str = DEFAULT_DIR) -> Optional[str]:
