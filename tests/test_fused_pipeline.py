@@ -301,3 +301,28 @@ def test_windowed_resume_replays_trajectory(tmp_path, rng, monkeypatch):
     resumed = run(4, True, "ck_b")         # resumes from epoch 2
     np.testing.assert_allclose(first, straight[:2], rtol=1e-6)
     np.testing.assert_allclose(resumed, straight[2:], rtol=1e-6)
+
+
+def test_windowed_multistep_matches_per_step(tmp_path, rng, monkeypatch):
+    """fused_window composes with steps_per_dispatch: the K-steps-per-dispatch
+    scan over a rotating window follows the per-dispatch trajectory (same
+    window per epoch, same absolute-step RNG folds; divergence is only the
+    scan-body-vs-standalone-step XLA reassociation that Adam amplifies —
+    measured growing 2e-7 → 3e-4 relative over 3 epochs, same envelope as
+    test_multistep_matches_per_step_trajectory documents)."""
+    monkeypatch.chdir(tmp_path)
+    store = _lazy_store(tmp_path, rng, n=4, cache=2)
+
+    def run(spd, ck):
+        cfg = Config(channels=6, patch_size=16, batch_size=2, epoch=3,
+                     eval_every_epoch=100, plot_every_epoch=100,
+                     attention_impl="xla", fused_pipeline="auto",
+                     fused_window=2, steps_per_dispatch=spd)
+        cfg.finalize()
+        t = Trainer(cfg, channels=6)
+        t.fit(store, ckpt_dir=str(tmp_path / ck))
+        key = ("multistep", False) if spd > 1 else ("fused", False)
+        assert key in t._steps
+        return t.all_epoch_losses["total_loss"]
+
+    np.testing.assert_allclose(run(1, "ck_s1"), run(2, "ck_s2"), rtol=1e-3)
