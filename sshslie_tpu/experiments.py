@@ -103,6 +103,37 @@ def list_experiments(yaml_path: str) -> List[str]:
     return load_registry(yaml_path).names()
 
 
+def _fill_wave_range_from_envi(args) -> None:
+    """Fill unset wave_start/wave_end from the first ENVI cube spec whose
+    header carries per-band wavelengths (net-new convenience — ENVI
+    acquisitions self-describe their spectral axis).
+
+    Only the endpoints transfer: downstream band picking interpolates a
+    uniform grid between them (select_hsi_wavelengths semantics), which is
+    exact for evenly-sampled captures and an approximation otherwise."""
+    import os
+
+    from sshslie_tpu.utils.io_envi import envi_wavelengths
+    from sshslie_tpu.utils.io_hsi import split_cube_spec
+
+    for spec in getattr(args, "cube", None) or []:
+        _, path = split_cube_spec(spec)
+        if not path.lower().endswith(".hdr"):
+            continue
+        try:
+            wl = envi_wavelengths(path)
+        except (OSError, ValueError):
+            continue
+        if wl and len(wl) >= 2:
+            if args.wave_start is None:
+                args.wave_start = float(wl[0])
+            if args.wave_end is None:
+                args.wave_end = float(wl[-1])
+            print(f"wavelength range {args.wave_start:g}-{args.wave_end:g} nm "
+                  f"from {os.path.basename(path)}")
+            return
+
+
 def resolve_cli_experiment(args) -> None:
     """Shared ``--experiment``/``--registry`` handling for the viz and
     inspect-spectra CLIs (the MATLAB workflow was
@@ -113,9 +144,13 @@ def resolve_cli_experiment(args) -> None:
     """
     if not getattr(args, "experiment", None):
         if args.wave_start is None or args.wave_end is None:
+            _fill_wave_range_from_envi(args)
+        if args.wave_start is None or args.wave_end is None:
             raise SystemExit(
                 "--wave_start/--wave_end are required (or provide "
-                "--experiment with wave_start_nm/wave_end_nm in the registry)"
+                "--experiment with wave_start_nm/wave_end_nm in the "
+                "registry, or an ENVI --cube whose header carries "
+                "wavelengths)"
             )
         if not args.cube:
             raise SystemExit("at least one --cube is required")

@@ -139,6 +139,18 @@ def load_hsi_bytes(body: bytes, mat_key: str = "data") -> np.ndarray:
     return np.asarray(mat[mat_key], dtype=np.float32)
 
 
+def split_cube_spec(spec: str) -> Tuple[str, str]:
+    """'Label=path' → (label, path); bare paths → ('', path).
+
+    Splits at the FIRST '=': 'GT=runs/x=2/c.mat' → label 'GT'. A prefix
+    containing a path separator is not a label but a bare path whose
+    directory name happens to contain '=' (e.g. results/run=2/c.mat)."""
+    label, sep, path = spec.partition("=")
+    if not sep or os.sep in label or "/" in label:
+        return "", spec
+    return label, path
+
+
 def load_cube_specs(specs, mat_key: str = "data") -> dict:
     """Parse repeatable ``'Label=path.mat'`` / bare-path CLI specs into an
     ordered ``{label: float64 cube}`` dict (shared by the viz and
@@ -149,12 +161,7 @@ def load_cube_specs(specs, mat_key: str = "data") -> dict:
     """
     cubes: dict = {}
     for spec in specs:
-        # Split at the FIRST '=': 'GT=runs/x=2/c.mat' → label 'GT'. A prefix
-        # containing a path separator is not a label but a bare path whose
-        # directory name happens to contain '=' (e.g. results/run=2/c.mat).
-        label, sep, path = spec.partition("=")
-        if not sep or os.sep in label or "/" in label:
-            label, path = "", spec
+        label, path = split_cube_spec(spec)
         label = label or os.path.splitext(os.path.basename(path))[0]
         while label in cubes:  # bare paths may share a basename
             label += "_"

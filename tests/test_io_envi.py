@@ -125,3 +125,21 @@ def test_training_on_envi_dataset(tmp_path, rng):
     lazy = LazyCubeStore(str(d), pattern="*.hdr", normalization="self")
     assert lazy.shapes == [(24, 24, 6), (24, 24, 6)]
     assert lazy.load_count == 0
+
+
+def test_viz_cli_wave_range_from_envi_header(tmp_path, rng, monkeypatch):
+    """--wave_start/--wave_end auto-fill from an ENVI header's wavelength
+    list, and an ENVI cube without wavelengths still errors actionably."""
+    hdr, _ = save_envi(str(tmp_path / "cap"),
+                       (rng.rand(24, 24, 6) * 100).astype(np.float32),
+                       wavelengths=[450, 500, 550, 600, 650, 700])
+    from sshslie_tpu.viz import main as viz_main
+
+    out = str(tmp_path / "fig.png")
+    viz_main(["--cube", hdr, "--out", out, "--preset", "true"])
+    assert os.path.exists(out)
+
+    bare, _ = save_envi(str(tmp_path / "bare"),
+                        (rng.rand(8, 8, 3) * 10).astype(np.float32))
+    with pytest.raises(SystemExit, match="wave_start"):
+        viz_main(["--cube", bare, "--out", str(tmp_path / "f2.png")])
