@@ -26,6 +26,8 @@ def main(argv=None):
     ap.add_argument("--channels", type=int, required=True)
     ap.add_argument("--out", required=True, help="output .pth path")
     ap.add_argument("--use_transformer", default="true")
+    ap.add_argument("--use_attention", default="false",
+                    help="SEBlock variant; must match the checkpoint")
     args = ap.parse_args(argv)
 
     import torch  # noqa: F401  (must import before jax on shared hosts)
@@ -35,15 +37,15 @@ def main(argv=None):
     from sshslie_tpu.interop import export_torch_checkpoint
     from sshslie_tpu.train import build_model, init_params
 
-    ut = args.use_transformer.strip().lower()
-    if ut not in ("1", "true", "yes", "0", "false", "no"):
-        # A typo ('ture') silently built the no-transformer template and
-        # failed later on a confusing param-structure mismatch.
-        raise SystemExit(f"--use_transformer {args.use_transformer!r}: "
-                         "expected true/false")
+    from sshslie_tpu.config import parse_bool_flag
+
+    # A typo ('ture') silently built the wrong template and failed later on
+    # a confusing param-structure mismatch — validate both arch flags.
     cfg = Config(
         channels=args.channels, attention_impl="xla",
-        use_transformer=ut in ("1", "true", "yes"),
+        use_transformer=parse_bool_flag(
+            "--use_transformer", args.use_transformer),
+        use_attention=parse_bool_flag("--use_attention", args.use_attention),
     )
     model = build_model(cfg, args.channels)
     template = init_params(model, cfg.seed_value, cfg.patch_size)

@@ -41,12 +41,19 @@ def main(argv=None):
 
     from sshslie_tpu import viz
 
-    from sshslie_tpu.utils.io_hsi import load_hsi
+    from sshslie_tpu.utils.io_hsi import load_hsi, split_cube_spec
 
     cubes = {}
     for spec in args.cube:
-        label, _, rest = spec.partition("=")
+        # Shared label/path splitting (handles bare paths and '=' inside
+        # directory names); the trailing ':key' is this script's extension.
+        label, rest = split_cube_spec(spec)
         path, _, key = rest.partition(":")
+        if not path:
+            raise SystemExit(f"--cube {spec!r}: empty path")
+        label = label or os.path.splitext(os.path.basename(path))[0]
+        while label in cubes:  # duplicates stay visible, never overwrite
+            label += "_"
         # load_hsi, not raw loadmat: reads v7.3/HDF5 too (save_hsi auto-emits
         # v7.3 for cubes ≥ 2 GiB — results must stay plottable).
         cubes[label] = np.asarray(

@@ -30,6 +30,10 @@ def main(argv=None):
     ap.add_argument("--global_min", type=float, default=0.0)
     ap.add_argument("--global_max", type=float, default=4095.0)
     ap.add_argument("--fmt", default="int8,fp8")
+    ap.add_argument("--use_transformer", default="true",
+                    help="must match the checkpoint's architecture")
+    ap.add_argument("--use_attention", default="false",
+                    help="SEBlock variant; must match the checkpoint")
     ap.add_argument("--device", default="")
     args = ap.parse_args(argv)
 
@@ -44,7 +48,13 @@ def main(argv=None):
     from sshslie_tpu.ops.quant import quantization_impact
     from sshslie_tpu.train import build_model, init_params
 
-    cfg = Config(channels=args.channels, attention_impl="xla")
+    from sshslie_tpu.config import parse_bool_flag
+
+    cfg = Config(channels=args.channels, attention_impl="xla",
+                 use_transformer=parse_bool_flag(
+                     "--use_transformer", args.use_transformer),
+                 use_attention=parse_bool_flag(
+                     "--use_attention", args.use_attention))
     model = build_model(cfg, args.channels)
     params = init_params(model, cfg.seed_value, cfg.patch_size)
     params, _ = checkpoints.load_pretrained_params(args.checkpoint, params)

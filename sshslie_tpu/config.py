@@ -223,6 +223,17 @@ def _coerce(value: str, target_type: type) -> Any:
     return value
 
 
+def parse_bool_flag(name: str, value: str) -> bool:
+    """Strict true/false CLI value — a typo must error, not silently pick a
+    default architecture (shared by the interop/quant script CLIs)."""
+    v = str(value).strip().lower()
+    if v in ("1", "true", "yes"):
+        return True
+    if v in ("0", "false", "no"):
+        return False
+    raise SystemExit(f"{name} {value!r}: expected true/false")
+
+
 def load_config(
     yaml_path: Optional[str] = None,
     overrides: Optional[dict[str, Any]] = None,

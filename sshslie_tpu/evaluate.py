@@ -353,6 +353,11 @@ def _inference_stream(infer, params, store: CubeStore, eval_batch: int,
                 outs = [(R[j], I[j], Id[j], S[j]) for j in range(len(chunk))]
             if timed:
                 jax.block_until_ready(S)
+                # Divide by the REAL cube count, not the padded batch: a
+                # remainder chunk's padding is part of what it costs to
+                # process those cubes at this eval_batch, so the per-image
+                # seconds stay wall-honest (a padded singleton reads high —
+                # that IS its end-to-end cost under batching).
                 per_cube = (time.time() - start) / len(chunk)
             else:
                 per_cube = 0.0

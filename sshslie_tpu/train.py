@@ -130,6 +130,73 @@ def _zero_decom_grads(grads: Any) -> Any:
     return grads
 
 
+
+def _make_loss_fn(model: LowLightEnhanceNet, coeffs: Dict[str, float]):
+    """The shared training objective: forward + re-decomposition + six-term
+    loss (reference model.py:544-575). ONE definition for all four step
+    builders — the bit-identical-trajectory contract between them must be
+    structural, not maintained by parallel edits."""
+
+    def loss_fn(params, batch):
+        R_low, I_low, I_delta, S, R_enh = model.apply(
+            {"params": params}, batch,
+            method=LowLightEnhanceNet.forward_with_redecomposition,
+        )
+        return total_loss(batch, R_low, I_low, I_delta, S, R_enh, coeffs)
+
+    return loss_fn
+
+
+def _apply_update(tx, state: TrainState, grads, lr, freeze_decom: bool):
+    """Freeze-mask + Adam + descent (shared by every step builder)."""
+    if freeze_decom:
+        grads = _zero_decom_grads(grads)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    # Descend: params ← params − lr · adam_update
+    params = jax.tree.map(lambda p, u: p - lr * u, state.params, updates)
+    return TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+
+
+def _sample_fused_batch(cubes, key, batch_start, batch_size: int,
+                        patch_size: int, mesh, data_axis: str,
+                        space_axis: str):
+    """On-device crop + augmentation draw for the fused pipelines.
+
+    Reference sampling semantics (model.py:300-310): cyclic cube indexing by
+    global sample position, crop offsets in [0, dim − patch) exclusive, one
+    of 8 augmentation modes. ONE definition shared by the per-step fused and
+    multistep builders — their trajectories must agree by construction.
+    """
+    from sshslie_tpu.utils.augment import augment_batch_jax
+
+    n, h, w, c = cubes.shape
+    kx, ky, km = jax.random.split(key, 3)
+    idx = (batch_start + jnp.arange(batch_size)) % n
+    xs = jax.random.randint(kx, (batch_size,), 0, h - patch_size)
+    ys = jax.random.randint(ky, (batch_size,), 0, w - patch_size)
+    modes = jax.random.randint(km, (batch_size,), 0, 8)
+
+    def crop(i, xi, yi):
+        return jax.lax.dynamic_slice(
+            cubes, (i, xi, yi, 0), (1, patch_size, patch_size, c)
+        )[0]
+
+    patches = jax.vmap(crop)(idx, xs, ys)
+    batch = augment_batch_jax(patches, modes)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = (
+            P(data_axis, space_axis, None, None)
+            if space_axis
+            else P(data_axis, None, None, None)
+        )
+        batch = jax.lax.with_sharding_constraint(
+            batch, NamedSharding(mesh, spec)
+        )
+    return batch
+
+
 def make_train_step(
     model: LowLightEnhanceNet,
     tx: optax.GradientTransformation,
@@ -149,22 +216,13 @@ def make_train_step(
     busy at the reference's batch sizes of 1-2.
     """
 
-    def loss_fn(params, batch):
-        R_low, I_low, I_delta, S, R_enh = model.apply(
-            {"params": params}, batch, method=LowLightEnhanceNet.forward_with_redecomposition
-        )
-        return total_loss(batch, R_low, I_low, I_delta, S, R_enh, coeffs)
+    loss_fn = _make_loss_fn(model, coeffs)
 
     def step_fn(state: TrainState, batch: jnp.ndarray, lr: jnp.ndarray):
         (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch
         )
-        if freeze_decom:
-            grads = _zero_decom_grads(grads)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        # Descend: params ← params − lr · adam_update
-        params = jax.tree.map(lambda p, u: p - lr * u, state.params, updates)
-        return TrainState(params=params, opt_state=opt_state, step=state.step + 1), terms
+        return _apply_update(tx, state, grads, lr, freeze_decom), terms
 
     donate = (0,)
     if mesh is None:
@@ -207,11 +265,7 @@ def make_accum_train_step(
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
 
-    def loss_fn(params, batch):
-        R_low, I_low, I_delta, S, R_enh = model.apply(
-            {"params": params}, batch, method=LowLightEnhanceNet.forward_with_redecomposition
-        )
-        return total_loss(batch, R_low, I_low, I_delta, S, R_enh, coeffs)
+    loss_fn = _make_loss_fn(model, coeffs)
 
     def step_fn(state: TrainState, batch: jnp.ndarray, lr: jnp.ndarray):
         b = batch.shape[0]
@@ -237,11 +291,7 @@ def make_accum_train_step(
         inv = jnp.float32(1.0 / accum_steps)
         grads = jax.tree.map(lambda g: g * inv, g_sum)
         terms = jax.tree.map(lambda t: t * inv, t_sum)
-        if freeze_decom:
-            grads = _zero_decom_grads(grads)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = jax.tree.map(lambda p, u: p - lr * u, state.params, updates)
-        return TrainState(params=params, opt_state=opt_state, step=state.step + 1), terms
+        return _apply_update(tx, state, grads, lr, freeze_decom), terms
 
     donate = (0,)
     if mesh is None:
@@ -289,52 +339,16 @@ def make_fused_train_step(
     exclusive (model.py:306-307). The RNG stream itself is jax's
     threefry rather than numpy's MT (documented deviation).
     """
-    from sshslie_tpu.utils.augment import augment_batch_jax
-
-    def loss_fn(params, batch):
-        R_low, I_low, I_delta, S, R_enh = model.apply(
-            {"params": params}, batch,
-            method=LowLightEnhanceNet.forward_with_redecomposition,
-        )
-        return total_loss(batch, R_low, I_low, I_delta, S, R_enh, coeffs)
+    loss_fn = _make_loss_fn(model, coeffs)
 
     def step_fn(state: TrainState, cubes: jnp.ndarray, key: jnp.ndarray,
                 batch_start: jnp.ndarray, lr: jnp.ndarray):
-        n, h, w, c = cubes.shape
-        kx, ky, km = jax.random.split(key, 3)
-        idx = (batch_start + jnp.arange(batch_size)) % n
-        xs = jax.random.randint(kx, (batch_size,), 0, h - patch_size)
-        ys = jax.random.randint(ky, (batch_size,), 0, w - patch_size)
-        modes = jax.random.randint(km, (batch_size,), 0, 8)
-
-        def crop(i, xi, yi):
-            return jax.lax.dynamic_slice(
-                cubes, (i, xi, yi, 0), (1, patch_size, patch_size, c)
-            )[0]
-
-        patches = jax.vmap(crop)(idx, xs, ys)
-        batch = augment_batch_jax(patches, modes)
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            spec = (
-                P(data_axis, space_axis, None, None)
-                if space_axis
-                else P(data_axis, None, None, None)
-            )
-            batch = jax.lax.with_sharding_constraint(
-                batch, NamedSharding(mesh, spec)
-            )
-
+        batch = _sample_fused_batch(cubes, key, batch_start, batch_size,
+                                    patch_size, mesh, data_axis, space_axis)
         (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch
         )
-        if freeze_decom:
-            grads = _zero_decom_grads(grads)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = jax.tree.map(lambda p, u: p - lr * u, state.params, updates)
-        return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1), terms
+        return _apply_update(tx, state, grads, lr, freeze_decom), terms
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
@@ -378,51 +392,16 @@ def make_multistep_train_step(
     discarded — one scan length, one XLA compile, regardless of how the epoch
     divides.
     """
-    from sshslie_tpu.utils.augment import augment_batch_jax
-
-    def loss_fn(params, batch):
-        R_low, I_low, I_delta, S, R_enh = model.apply(
-            {"params": params}, batch,
-            method=LowLightEnhanceNet.forward_with_redecomposition,
-        )
-        return total_loss(batch, R_low, I_low, I_delta, S, R_enh, coeffs)
+    loss_fn = _make_loss_fn(model, coeffs)
 
     def one_step(state: TrainState, cubes, base_key, step_id, batch_start, lr):
-        n, h, w, c = cubes.shape
         key = jax.random.fold_in(base_key, step_id)
-        kx, ky, km = jax.random.split(key, 3)
-        idx = (batch_start + jnp.arange(batch_size)) % n
-        xs = jax.random.randint(kx, (batch_size,), 0, h - patch_size)
-        ys = jax.random.randint(ky, (batch_size,), 0, w - patch_size)
-        modes = jax.random.randint(km, (batch_size,), 0, 8)
-
-        def crop(i, xi, yi):
-            return jax.lax.dynamic_slice(
-                cubes, (i, xi, yi, 0), (1, patch_size, patch_size, c)
-            )[0]
-
-        patches = jax.vmap(crop)(idx, xs, ys)
-        batch = augment_batch_jax(patches, modes)
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            spec = (
-                P(data_axis, space_axis, None, None)
-                if space_axis
-                else P(data_axis, None, None, None)
-            )
-            batch = jax.lax.with_sharding_constraint(
-                batch, NamedSharding(mesh, spec)
-            )
+        batch = _sample_fused_batch(cubes, key, batch_start, batch_size,
+                                    patch_size, mesh, data_axis, space_axis)
         (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch
         )
-        if freeze_decom:
-            grads = _zero_decom_grads(grads)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = jax.tree.map(lambda p, u: p - lr * u, state.params, updates)
-        return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1), terms
+        return _apply_update(tx, state, grads, lr, freeze_decom), terms
 
     def step_fn(state: TrainState, cubes, base_key, step_ids, batch_starts,
                 valid, lr):
@@ -469,8 +448,6 @@ def stack_cubes(store: CubeStore) -> Optional[jnp.ndarray]:
     shapes = {c.shape for c in store.cubes}
     if len(shapes) != 1:
         return None
-    import numpy as np
-
     return jnp.asarray(np.stack(store.cubes))
 
 
@@ -1026,10 +1003,15 @@ class Trainer:
                     # in a per-process nondeterministic order — a deadlock on
                     # a real pod.
                     multi = jax.process_count() > 1
-                    eval_sharded = multi and getattr(cfg, "eval_sharded", False)
+                    eval_sharded = (self.mesh is not None
+                                    and getattr(cfg, "eval_sharded", False))
                     run_eval = (not multi) or eval_sharded or jax.process_index() == 0
                     if (run_eval and evaluator is not None
                             and eval_store is not None and eval_result_dir):
+                        # Sharded eval is collective — it must never run on
+                        # the async worker thread, single-host included:
+                        # two threads enqueueing multi-device programs can
+                        # interleave per-device launches inconsistently.
                         if eval_pool is not None and not eval_sharded:
                             # Snapshot params to host *now* — the live buffers are
                             # donated to the next step and become invalid.
