@@ -110,18 +110,23 @@ def measure(batch: int, patch: int, channels: int, steps: int, warmup: int,
     # warmup / compile
     _, state, _ = timed_chain(state, warmup)
     # Marginal per-step time cancels the constant chain overhead (dispatch
-    # ramp + end fetch). Relay jitter only ever ADDS time, so the best of
-    # three marginals is the stable estimator (single-shot runs varied
-    # ±15% across invocations).
+    # ramp + end fetch). Relay jitter only ever ADDS time, so difference the
+    # per-length MINIMA across reps — differencing per-rep pairs lets a
+    # jittery short chain exceed a clean long one and the marginal go
+    # negative (observed on loaded relays).
     n1 = max(steps // 4, 1)
     n2 = steps
-    dt = float("inf")
+    t1s, t2s = [], []
     loss = 0.0
     for _ in range(3):
         t1, state, _ = timed_chain(state, n1)
         t2, state, loss = timed_chain(state, n2)
-        marg = (t2 - t1) / (n2 - n1) if n2 > n1 else t2 / n2
-        dt = min(dt, marg)
+        t1s.append(t1)
+        t2s.append(t2)
+    dt = ((min(t2s) - min(t1s)) / (n2 - n1) if n2 > n1
+          else min(t2s) / n2)
+    if dt <= 0:  # pathological jitter: fall back to the raw long chain
+        dt = min(t2s) / n2
     assert loss == loss, "loss is NaN"
 
     mpb_per_step = batch * patch * patch * channels / 1e6
