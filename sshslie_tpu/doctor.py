@@ -148,14 +148,26 @@ def _check_train_split(cfg, rep: Report, store) -> None:
         rep.warn("batch size",
                  f"batch_size {cfg.batch_size} > {len(store)} cubes: epoch "
                  "has zero batches (reference remainder-drop semantics)")
-    # Value range vs the normalization constants — load ONE cube raw.
+    # Value range vs the normalization constants — load ONE cube raw. Only
+    # meaningful under global_normalization: 'self'/max modes never consult
+    # global_min/global_max, so comparing against them there produces
+    # misleading WARNs (advisor r3).
+    if cfg.normalization != "global_normalization":
+        rep.ok("value range",
+               f"check not applicable under normalization="
+               f"{cfg.normalization!r} (no global_min/global_max in play)")
+        return
     try:
         from sshslie_tpu.utils.io_hsi import load_hsi
 
         raw = load_hsi(store.files[0], mat_key=cfg.mat_key,
                        normalization=None, rescale_by_max=False)
         lo, hi = float(np.min(raw)), float(np.max(raw))
-        if hi > cfg.global_max:
+        if cfg.global_max is None:
+            rep.warn("value range",
+                     "normalization=global_normalization but global_max is "
+                     "unset")
+        elif hi > cfg.global_max:
             rep.warn("value range",
                      f"{os.path.basename(store.files[0])} max {hi:.1f} "
                      f"exceeds global_max {cfg.global_max} (values clip "

@@ -45,17 +45,17 @@ from sshslie_tpu.utils.io_hsi import load_hsi
 DataRange = Union[None, float, Tuple[float, float]]
 
 
-def _apply_range(pred: jnp.ndarray, target: jnp.ndarray, data_range: DataRange,
-                 kind: str = "psnr", per_band: bool = False):
+def _apply_range(pred: jnp.ndarray, target: jnp.ndarray, range_arg,
+                 range_kind: str, kind: str = "psnr", per_band: bool = False):
     """Resolve torchmetrics data_range semantics → (pred, target, range).
 
-    ``data_range=None`` follows torchmetrics' per-metric inference: PSNR uses
-    the *target's* range, SSIM the larger of the two tensors' ranges.
+    ``range_kind='none'`` follows torchmetrics' per-metric inference: PSNR
+    uses the *target's* range, SSIM the larger of the two tensors' ranges.
     ``per_band`` computes the (H, W)-reduced range per channel of an
     (H, W, C) cube — the reference's bandwise loop calls torchmetrics once
     per band, so each band infers its own range.
     """
-    if data_range is None:
+    if range_kind == "none":
         axes = (0, 1) if per_band else None
         rng = jnp.max(target, axis=axes) - jnp.min(target, axis=axes)
         if kind == "ssim":
@@ -63,34 +63,44 @@ def _apply_range(pred: jnp.ndarray, target: jnp.ndarray, data_range: DataRange,
                 rng, jnp.max(pred, axis=axes) - jnp.min(pred, axis=axes)
             )
         return pred, target, rng
-    if isinstance(data_range, (tuple, list)):
-        lo, hi = data_range
+    if range_kind == "pair":
+        lo, hi = range_arg[0], range_arg[1]
         pred = jnp.clip(pred, lo, hi)
         target = jnp.clip(target, lo, hi)
         return pred, target, hi - lo
-    return pred, target, jnp.asarray(data_range, dtype=pred.dtype)
+    return pred, target, jnp.asarray(range_arg, dtype=pred.dtype)
 
 
-def _hashable_range(data_range: DataRange):
-    """data_range as a jit-static: lists become tuples (hashable); every
-    metric is jitted shape×range-keyed so eval over a uniform dataset
-    compiles once instead of dispatching dozens of eager ops per pair
-    through the (round-trip-expensive) relay."""
-    return tuple(data_range) if isinstance(data_range, list) else data_range
+def _range_kind_and_arg(data_range: DataRange):
+    """Split data_range into a static *kind* + a traced operand.
+
+    Only the structural kind (none / (min,max) pair / scalar-or-array value)
+    keys the jit cache — the numeric value rides in as a traced array, so
+    per-image dynamic ranges reuse one compiled program instead of growing
+    the cache per distinct float, and array-valued ranges stay accepted
+    (advisor r3: the value-static version raised unhashable on arrays)."""
+    if data_range is None:
+        return "none", jnp.zeros((), jnp.float32)
+    if isinstance(data_range, (tuple, list)):
+        lo, hi = data_range
+        return "pair", jnp.stack([jnp.asarray(lo, jnp.float32),
+                                  jnp.asarray(hi, jnp.float32)])
+    return "value", jnp.asarray(data_range, jnp.float32)
 
 
-@partial(jax.jit, static_argnames="data_range")
-def _psnr_core(pred, target, data_range):
-    pred, target, rng = _apply_range(pred, target, data_range, kind="psnr")
+@partial(jax.jit, static_argnames="range_kind")
+def _psnr_core(pred, target, range_arg, range_kind):
+    pred, target, rng = _apply_range(pred, target, range_arg, range_kind,
+                                     kind="psnr")
     mse = jnp.mean((pred - target) ** 2)
     return 10.0 * jnp.log10(rng**2 / mse)
 
 
 def psnr(pred: jnp.ndarray, target: jnp.ndarray, data_range: DataRange = None) -> jnp.ndarray:
     """10·log10(range²/mse) over the whole tensor (torchmetrics semantics)."""
+    kind, arg = _range_kind_and_arg(data_range)
     return _psnr_core(jnp.asarray(pred, jnp.float32),
-                      jnp.asarray(target, jnp.float32),
-                      _hashable_range(data_range))
+                      jnp.asarray(target, jnp.float32), arg, kind)
 
 
 def _gaussian_kernel1d(size: int, sigma: float) -> jnp.ndarray:
@@ -140,9 +150,10 @@ def _ssim_map(
     return upper / lower
 
 
-@partial(jax.jit, static_argnames="data_range")
-def _ssim_nchw_core(pred, target, data_range):
-    pred, target, rng = _apply_range(pred, target, data_range, kind="ssim")
+@partial(jax.jit, static_argnames="range_kind")
+def _ssim_nchw_core(pred, target, range_arg, range_kind):
+    pred, target, rng = _apply_range(pred, target, range_arg, range_kind,
+                                     kind="ssim")
     n, c, h, w = pred.shape
     # torchmetrics errors when the window exceeds the image; we shrink it to
     # the largest odd size that fits so tiny cubes still get a score.
@@ -159,9 +170,9 @@ def _ssim_nchw(
     pred: jnp.ndarray, target: jnp.ndarray, data_range: DataRange
 ) -> jnp.ndarray:
     """SSIM of (N, C, H, W) tensors, torchmetrics reduction (mean over all)."""
+    kind, arg = _range_kind_and_arg(data_range)
     return _ssim_nchw_core(jnp.asarray(pred, jnp.float32),
-                           jnp.asarray(target, jnp.float32),
-                           _hashable_range(data_range))
+                           jnp.asarray(target, jnp.float32), arg, kind)
 
 
 def ssim(pred: jnp.ndarray, target: jnp.ndarray, data_range: DataRange = None) -> jnp.ndarray:
@@ -216,7 +227,8 @@ def psnr_bandwise(
     (metrics.py:53-54), vectorized on device instead of a per-band loop."""
     pred = jnp.asarray(pred, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
-    pred, target, rng = _apply_range(pred, target, data_range,
+    kind, arg = _range_kind_and_arg(data_range)
+    pred, target, rng = _apply_range(pred, target, arg, kind,
                                      kind="psnr", per_band=True)
     mse = jnp.mean((pred - target) ** 2, axis=(0, 1))
     return 10.0 * jnp.log10(rng**2 / mse)
@@ -232,7 +244,8 @@ def ssim_bandwise(
     """
     pred = jnp.asarray(pred, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
-    pred, target, rng = _apply_range(pred, target, data_range,
+    kind, arg = _range_kind_and_arg(data_range)
+    pred, target, rng = _apply_range(pred, target, arg, kind,
                                      kind="ssim", per_band=True)
     if jnp.ndim(rng) == 1:  # per-band inferred range → broadcast over (H, W)
         rng = rng[:, None, None]

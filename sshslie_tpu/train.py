@@ -476,6 +476,7 @@ class WindowedCubeFeeder:
     """
 
     def __init__(self, store: CubeStore, k: int, place, num_epochs=None):
+        import threading
         from concurrent.futures import ThreadPoolExecutor
 
         self.store = store
@@ -486,6 +487,7 @@ class WindowedCubeFeeder:
         self._pool = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="fused-window"
         )
+        self._cancel = threading.Event()
         self._next = None  # (epoch, Future[np.ndarray])
 
     def indices(self, epoch: int) -> list:
@@ -493,7 +495,17 @@ class WindowedCubeFeeder:
         return [(start + j) % self.n for j in range(self.k)]
 
     def _host_window(self, epoch: int) -> np.ndarray:
-        return np.stack([self.store[i] for i in self.indices(epoch)])
+        # Load cube-by-cube, checking the cancel flag between disk loads:
+        # the pool's worker is non-daemon (joined at interpreter exit), so a
+        # close() mid-prefetch must be able to bail after the *current* cube
+        # instead of stalling process exit for the remaining K-1 loads with
+        # the partial stack pinned in RAM (advisor r3).
+        cubes = []
+        for i in self.indices(epoch):
+            if self._cancel.is_set():
+                raise RuntimeError("WindowedCubeFeeder closed mid-prefetch")
+            cubes.append(self.store[i])
+        return np.stack(cubes)
 
     def window(self, epoch: int) -> jnp.ndarray:
         if self._next is not None and self._next[0] == epoch:
@@ -511,6 +523,7 @@ class WindowedCubeFeeder:
         return self._place(host)
 
     def close(self) -> None:
+        self._cancel.set()
         self._pool.shutdown(wait=False, cancel_futures=True)
 
 

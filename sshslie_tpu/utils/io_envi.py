@@ -44,32 +44,50 @@ def read_envi_header(hdr_path: str) -> Dict[str, object]:
 
     Handles ``key = value`` lines and ``key = { multi, line, lists }``;
     list values are returned as lists of stripped strings.
+
+    The parser is a line scanner, not a regex over the whole text: a
+    ``key = {`` opener consumes lines until the closing ``}`` and *rejects*
+    the header if non-whitespace trails the brace on the closing line —
+    otherwise prose leaking out of a truncated block could be re-parsed as
+    ``key = value`` lines and silently shadow real fields (advisor r3).
+    ENVI blocks do not nest, so the first ``}`` terminates a block.
     """
     with open(hdr_path, "r", errors="replace") as fh:
         text = fh.read()
     if not text.lstrip().upper().startswith("ENVI"):
         raise ValueError(f"{hdr_path}: missing ENVI header magic")
     fields: Dict[str, object] = {}
-    # Collapse { ... } blocks (possibly multi-line) first, then BLANK their
-    # spans: a '=' inside a description block would otherwise also match
-    # the scalar pass and could shadow a real field (e.g. "samples = ..."
-    # prose inside the description vs the real samples line).
-    spans = []
-    for m in re.finditer(r"(?im)^\s*([^={}\n]+?)\s*=\s*\{(.*?)\}", text,
-                         re.DOTALL):
+    lines = text.splitlines()
+    i = 0
+    while i < len(lines):
+        m = re.match(r"^\s*([^={}]+?)\s*=\s*(.*)$", lines[i])
+        if not m:
+            i += 1
+            continue
         key = m.group(1).strip().lower()
-        fields[key] = [v.strip() for v in m.group(2).split(",") if v.strip()]
-        spans.append(m.span())
-    chars = list(text)
-    for lo, hi in spans:
-        for i in range(lo, hi):
-            if chars[i] != "\n":
-                chars[i] = " "
-    text = "".join(chars)
-    for m in re.finditer(r"(?im)^\s*([^={}\n]+?)\s*=\s*([^{\n]+?)\s*$", text):
-        key = m.group(1).strip().lower()
-        if key not in fields:
-            fields[key] = m.group(2).strip()
+        val = m.group(2).strip()
+        if val.startswith("{"):
+            block = val[1:]
+            while "}" not in block:
+                i += 1
+                if i >= len(lines):
+                    raise ValueError(
+                        f"{hdr_path}: unterminated '{{' block for field "
+                        f"{key!r}"
+                    )
+                block += "\n" + lines[i]
+            body, _, rest = block.partition("}")
+            if rest.strip():
+                raise ValueError(
+                    f"{hdr_path}: trailing content after '}}' closing field "
+                    f"{key!r}: {rest.strip()!r}"
+                )
+            fields.setdefault(
+                key, [v.strip() for v in body.split(",") if v.strip()]
+            )
+        elif val:
+            fields.setdefault(key, val)
+        i += 1
     return fields
 
 
@@ -145,7 +163,13 @@ def save_envi(
 ) -> Tuple[str, str]:
     """Write an (H, W, C) cube as an ENVI pair; returns (hdr, data) paths.
 
-    Atomic like :func:`save_hsi` (tmp + rename per file)."""
+    Atomic like :func:`save_hsi` (tmp + rename per file). Both tmp files are
+    fully written before either rename, so a crash never leaves a partial
+    pair — but the two renames are not one transaction: *overwriting an
+    existing pair in place is not safe against a concurrent reader*, which
+    can observe new data against the old header (or vice versa). Writers
+    replacing live pairs should write to a fresh basename and swap a
+    directory/symlink instead."""
     cube = np.asarray(cube)
     if cube.ndim != 3:
         raise ValueError(f"expected (H, W, C), got {cube.shape}")
@@ -185,16 +209,23 @@ def save_envi(
         hdr_lines.append(
             "wavelength = {" + ", ".join(f"{w:g}" for w in wavelengths) + "}"
         )
-    for target, write in (
+    def _write_hdr(p: str) -> None:
+        with open(p, "w") as fh:  # explicit close → flushed before rename
+            fh.write("\n".join(hdr_lines) + "\n")
+
+    targets = (
         (data_path, lambda p: np.ascontiguousarray(
             raw, dtype=dtype.newbyteorder("<")).tofile(p)),
-        (hdr_path, lambda p: open(p, "w").write("\n".join(hdr_lines) + "\n")),
-    ):
-        tmp = target + ".tmp"
-        try:
+        (hdr_path, _write_hdr),
+    )
+    tmps = [t + ".tmp" for t, _ in targets]
+    try:
+        for (_, write), tmp in zip(targets, tmps):
             write(tmp)
+        for (target, _), tmp in zip(targets, tmps):
             os.replace(tmp, target)
-        finally:
+    finally:
+        for tmp in tmps:
             if os.path.exists(tmp):
                 os.remove(tmp)
     return hdr_path, data_path

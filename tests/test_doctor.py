@@ -100,3 +100,13 @@ def test_cli_exit_codes(workspace):
     assert doctor_main(["--config", "/dev/null", "--channels", "99",
                         "--train_data", "./data/low/train",
                         "--phase", "train", "--model_name", "doc"]) == 1
+
+def test_value_range_skipped_for_non_global_normalization(workspace):
+    """'self'/max normalization never consult global_min/global_max, so the
+    raw-max-vs-global_max comparison is not applicable there (advisor r3)."""
+    rep = run_doctor(_cfg(normalization="self", global_max=100.0,
+                          phase="train"))
+    lv = _levels(rep)
+    assert lv["value range"] == "PASS"
+    row = [msg for _, chk, msg in rep.rows if chk == "value range"][0]
+    assert "not applicable" in row

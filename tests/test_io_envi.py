@@ -143,3 +143,22 @@ def test_viz_cli_wave_range_from_envi_header(tmp_path, rng, monkeypatch):
                         (rng.rand(8, 8, 3) * 10).astype(np.float32))
     with pytest.raises(SystemExit, match="wave_start"):
         viz_main(["--cube", bare, "--out", str(tmp_path / "f2.png")])
+
+def test_header_brace_leak_rejected(tmp_path):
+    """A block whose closing line carries trailing content must be rejected,
+    not silently re-parsed as scalar fields (advisor r3: prose like
+    'samples = 9999' leaking from a truncated block could shadow the real
+    field)."""
+    from sshslie_tpu.utils.io_envi import read_envi_header
+
+    hdr = tmp_path / "leak.hdr"
+    hdr.write_text(
+        "ENVI\nsamples = 4\nlines = 4\nbands = 2\ndata type = 4\n"
+        "description = {note about braces} and then samples = 9999\n"
+    )
+    with pytest.raises(ValueError, match="trailing content"):
+        read_envi_header(str(hdr))
+    hdr2 = tmp_path / "unterminated.hdr"
+    hdr2.write_text("ENVI\nsamples = 4\ndescription = {never closed\n")
+    with pytest.raises(ValueError, match="unterminated"):
+        read_envi_header(str(hdr2))

@@ -198,3 +198,22 @@ def test_bandwise_none_uses_per_band_ranges(rng):
         p = jnp.asarray(pred[..., b:b + 1])
         expect = float(psnr(p, t, float(jnp.max(t) - jnp.min(t))))
         np.testing.assert_allclose(vec[b], expect, rtol=1e-5)
+
+def test_array_data_range_and_no_per_value_recompile(rng):
+    """data_range rides as a traced operand (advisor r3): array-valued ranges
+    are accepted, and distinct float ranges reuse ONE compiled program
+    instead of growing the jit cache per value."""
+    from sshslie_tpu.metrics import _psnr_core, psnr
+
+    target = jnp.asarray(rng.rand(8, 8, 3).astype(np.float32))
+    pred = jnp.asarray(rng.rand(8, 8, 3).astype(np.float32))
+    # Array-valued range (0-d device array) — previously TypeError: unhashable.
+    arr_rng = jnp.asarray(2.0)
+    np.testing.assert_allclose(
+        float(psnr(pred, target, arr_rng)), float(psnr(pred, target, 2.0)),
+        rtol=1e-6,
+    )
+    base = _psnr_core._cache_size()
+    for v in (1.0, 1.5, 2.0, 3.25):
+        psnr(pred, target, v)
+    assert _psnr_core._cache_size() == max(base, 1)  # one entry for all values
