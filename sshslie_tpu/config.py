@@ -108,7 +108,7 @@ class Config:
     fused_pipeline: str = "auto"          # 'auto'|'on'|'off': on-device sampling+step graph
     sampler: str = "auto"                 # host sampler: 'auto'|'native'|'python' (RNG streams differ; see docs/PARITY.md)
     steps_per_dispatch: int = 1           # fused pipeline: scan K steps per device dispatch (amortizes launch latency)
-    fused_window: int = 0                 # >0: fused pipeline over a rotating K-cube device window (datasets larger than HBM; see docs/CONFIG.md)
+    fused_window: Any = 0                 # >0: fused pipeline over a rotating K-cube device window (datasets larger than HBM); 'auto' sizes K from cube bytes vs device memory stats; see docs/CONFIG.md
     grad_accum_steps: int = 1             # >1: scan K sequential microbatches per step (exact full-batch update, ~K× less activation memory; host pipeline only)
     log_every_step: int = 0               # 0 = per-epoch logging only (avoid device→host syncs)
     checkpoint_keep: int = 0              # 0 = keep all periodic checkpoints
@@ -201,6 +201,10 @@ _ENUM_FIELDS: dict[str, tuple] = {
 }
 
 
+# int-valued keys that also accept the literal 'auto' (resolved at fit time).
+_INT_OR_AUTO_FIELDS = ("fused_window",)
+
+
 def _validate_enums(cfg: "Config") -> None:
     for key, choices in _ENUM_FIELDS.items():
         val = getattr(cfg, key)
@@ -209,6 +213,25 @@ def _validate_enums(cfg: "Config") -> None:
             raise ValueError(
                 f"config key {key!r}: invalid value {val!r} "
                 f"(choices: {', '.join(map(str, shown))})"
+            )
+    for key in _INT_OR_AUTO_FIELDS:
+        val = getattr(cfg, key)
+        if isinstance(val, str):
+            if val.strip().lower() == "auto":
+                setattr(cfg, key, "auto")
+                continue
+            try:
+                val = int(val)
+            except ValueError:
+                raise ValueError(
+                    f"config key {key!r}: invalid value {val!r} "
+                    "(an integer >= 0, or 'auto')"
+                )
+            setattr(cfg, key, val)
+        if isinstance(val, bool) or not isinstance(val, int) or val < 0:
+            raise ValueError(
+                f"config key {key!r}: invalid value {val!r} "
+                "(an integer >= 0, or 'auto')"
             )
 
 
@@ -296,5 +319,9 @@ def parse_args(argv: Optional[list[str]] = None) -> Config:
         val = getattr(args, name)
         if val is None:
             continue
-        overrides[name] = _coerce(val, ftype)
+        if name in _INT_OR_AUTO_FIELDS:
+            # 'auto' or an int — normalized/validated by load_config.
+            overrides[name] = val
+        else:
+            overrides[name] = _coerce(val, ftype)
     return load_config(args.config, overrides)

@@ -451,6 +451,52 @@ def stack_cubes(store: CubeStore) -> Optional[jnp.ndarray]:
     return jnp.asarray(np.stack(store.cubes))
 
 
+def auto_fused_window(store: CubeStore, batch_size: int, device=None,
+                      safety: float = 0.5) -> int:
+    """Resolve ``fused_window: auto`` → a concrete window size (VERDICT r3 #7).
+
+    Returns ``0`` when the full stack fits device memory outright (no
+    windowing — the resident fused pipeline), a ``K`` in ``[max(2, batch),
+    N-1]`` when a rotating window fits where the stack doesn't, or ``-1``
+    when even the smallest useful window blows the budget (the caller warns
+    and degrades to the host sampler).
+
+    The budget charges each window cube 2× — peak HBM briefly holds two
+    windows at the epoch boundary (docs/CONFIG.md) — against ``safety`` of
+    the device's free memory (``memory_stats``). Backends without memory
+    stats (CPU virtual devices, some relays) resolve to 0: host RAM is the
+    real constraint there and the pre-auto default (full stack) stands.
+
+    Note: auto re-resolves per process from *current* memory stats, so a
+    resumed run can pick a different K than the original (K changes which
+    cube each sample reads). Runs that need bit-exact resume replay should
+    pin an explicit integer ``fused_window``.
+    """
+    if device is None:
+        device = jax.local_devices()[0]
+    shapes = {tuple(s) for s in store.shapes}
+    if len(shapes) != 1:
+        return -1  # windowing needs one shape; host sampler handles mixed
+    h, w, c = next(iter(shapes))
+    cube_bytes = h * w * c * 4  # stacks are float32 (normalized cubes)
+    n = len(store)
+    try:
+        stats = device.memory_stats()
+    except Exception:
+        stats = None
+    if not stats or "bytes_limit" not in stats:
+        return 0
+    free = int(stats["bytes_limit"]) - int(stats.get("bytes_in_use", 0))
+    budget = int(free * safety)
+    if n * cube_bytes <= budget:
+        return 0  # resident stack fits (single copy, uploaded once)
+    k = budget // (2 * cube_bytes)
+    k_min = max(2, min(batch_size, n))
+    if k < k_min:
+        return -1
+    return int(min(k, n - 1))
+
+
 class WindowedCubeFeeder:
     """Rotating device-resident window for the fused pipeline over datasets
     too large to stack in HBM (VERDICT r2 weak #5; net-new vs the reference,
@@ -712,18 +758,38 @@ class Trainer:
                 "grad_accum_steps > 1 requires the host pipeline; set "
                 "fused_pipeline to 'auto' or 'off'"
             )
-        if cfg.grad_accum_steps <= 1 and cfg.fused_pipeline in ("auto", "on"):
+        fused_window = cfg.fused_window
+        if fused_window == "auto":
+            dev = (self.mesh.devices.flat[0] if self.mesh is not None
+                   else None)
+            fused_window = auto_fused_window(
+                train_store, cfg.batch_size, device=dev
+            )
+            if fused_window < 0:
+                print("fused_window=auto: no useful window fits the device "
+                      "memory budget (or cube shapes are mixed) — degrading "
+                      "to the host sampler")
+            elif fused_window == 0:
+                print("fused_window=auto: full training stack fits resident "
+                      "(no windowing)")
+            else:
+                print(f"fused_window=auto: window={fused_window}/"
+                      f"{len(train_store)} cube(s) from device memory stats "
+                      "(pin an integer fused_window for bit-exact resume "
+                      "across memory-state changes)")
+        if (cfg.grad_accum_steps <= 1 and fused_window >= 0
+                and cfg.fused_pipeline in ("auto", "on")):
             uniform = len({tuple(s) for s in shapes}) == 1
-            if cfg.fused_window > 0 and uniform and cfg.fused_window < len(
+            if fused_window > 0 and uniform and fused_window < len(
                 train_store
             ):
                 fused_feeder = WindowedCubeFeeder(
-                    train_store, cfg.fused_window, _place_fused,
+                    train_store, fused_window, _place_fused,
                     num_epochs=cfg.epoch,
                 )
             else:
                 fused_cubes = stack_cubes(train_store)
-                if (fused_cubes is None and cfg.fused_window > 0 and uniform):
+                if (fused_cubes is None and fused_window > 0 and uniform):
                     # fused_window ≥ N on a lazy store: the user asked for
                     # device residency and the window covers everything —
                     # materialize the full stack once.

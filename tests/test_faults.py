@@ -173,3 +173,38 @@ def test_make_mesh_rejects_3d_without_names():
         make_mesh("2x2x2")
     with pytest.raises(ValueError, match="does not match"):
         make_mesh("4x2", axis_names=("data",))
+
+
+def test_checkpoint_format_versioning(tmp_path, tree):
+    """Checkpoints carry a format_version (VERDICT r3): current files
+    round-trip, pre-versioning files (no field) still load, and a
+    future-version file is refused with a versioned error, not a msgpack
+    traceback."""
+    from flax import serialization
+
+    path = str(tmp_path / "model_epoch_latest")
+    checkpoints.save_checkpoint(path, tree, tree, epoch=3)
+    full = path + checkpoints.CKPT_SUFFIX
+    with open(full, "rb") as fh:
+        raw = serialization.msgpack_restore(fh.read())
+    assert int(np.asarray(raw["format_version"])) == checkpoints.FORMAT_VERSION
+    _, _, epoch = checkpoints.load_checkpoint(full, tree, tree)
+    assert epoch == 3
+
+    # Pre-versioning layout (rounds 1-3 wrote no format_version) still loads.
+    legacy = raw.copy()
+    del legacy["format_version"]
+    p_old = tmp_path / "legacy.ckpt"
+    p_old.write_bytes(serialization.msgpack_serialize(legacy))
+    _, _, epoch = checkpoints.load_checkpoint(str(p_old), tree, tree)
+    assert epoch == 3
+
+    # A future format is refused with a clear, versioned message.
+    future = raw.copy()
+    future["format_version"] = np.asarray(99, dtype=np.int64)
+    p_new = tmp_path / "future.ckpt"
+    p_new.write_bytes(serialization.msgpack_serialize(future))
+    with pytest.raises(ValueError, match="format v99.*reads up to v1"):
+        checkpoints.load_checkpoint(str(p_new), tree, tree)
+    with pytest.raises(ValueError, match="format v99"):
+        checkpoints.load_pretrained_params(str(p_new), tree)
