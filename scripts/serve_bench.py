@@ -35,7 +35,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_case(cfg_kwargs, size, channels, requests, threads, label):
+def run_case(cfg_kwargs, size, channels, requests, threads, label, wire="f32"):
     from sshslie_tpu.config import Config
     from sshslie_tpu.serve import EnhanceService
 
@@ -52,7 +52,7 @@ def run_case(cfg_kwargs, size, channels, requests, threads, label):
 
     def one(i):
         t0 = time.perf_counter()
-        out = service.enhance(cubes[i % len(cubes)])
+        out = service.enhance(cubes[i % len(cubes)], wire=wire)
         dt = time.perf_counter() - t0
         assert out["S"].shape == (size, size, channels)
         return dt
@@ -113,6 +113,10 @@ def main(argv=None):
                     help="comma list of concurrent client counts")
     ap.add_argument("--max_batch", type=int, default=8)
     ap.add_argument("--quantize", default="", choices=("", "int8", "fp8"))
+    ap.add_argument("--encodings", default="",
+                    help="comma list from f32,bf16,u16: adds sequential "
+                         "1-client cases with the reduced-precision d2h "
+                         "fetch (the wire-format lever on slow transports)")
     ap.add_argument("--device", default="", help="'cpu' forces the CPU backend")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
@@ -137,6 +141,10 @@ def main(argv=None):
         for kw, label in cases:
             results.append(run_case(kw, args.size, args.channels,
                                     args.requests, th, f"{label}_t{th}"))
+    for enc in [e for e in str(args.encodings).split(",") if e]:
+        results.append(run_case({"serve_max_batch": 1}, args.size,
+                                args.channels, args.requests, 1,
+                                f"wire_{enc}_t1", wire=enc))
     results.append(cold_bucket_case(args.size, args.channels))
     report = {
         "workload": f"{args.size}x{args.size}x{args.channels}",

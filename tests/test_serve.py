@@ -445,3 +445,88 @@ def test_serve_bench_script_run_case():
         32, CHANNELS, 6, 3, "mb",
     )
     assert res_mb["batched_runs"] >= 1 and res_mb["max_batch_seen"] >= 1
+
+
+def test_wire_encodings_roundtrip_and_shrink(server, service):
+    """Client-negotiated response encodings (VERDICT r3: transport-bound
+    serving): f32/bf16/u16/zlib all round-trip through the real HTTP server
+    within their precision, and the 2-byte formats halve the payload."""
+    from sshslie_tpu.serve import decode_cube_response
+
+    rng = np.random.RandomState(7)
+    cube = (rng.rand(24, 24, CHANNELS) * 4000).astype(np.float32)
+    ref = service.enhance(cube)["S"]
+    rng_span = float(ref.max() - ref.min())
+
+    sizes = {}
+    # u16 responses quantize twice (device-side d2h fetch + HTTP encode):
+    # ≤ 1 LSB each, so allow 3. bf16: 2^-9 relative, twice.
+    for enc, tol in (("mat", 0.0), ("f32", 0.0),
+                     ("bf16", 0.004 * float(np.abs(ref).max())),
+                     ("u16", 3.0 * rng_span / 65535.0)):
+        resp, body = _post_mat(server, cube, query=f"?encoding={enc}")
+        assert resp.status == 200, body
+        got = decode_cube_response(body, resp.headers)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=max(tol, 1e-6))
+        sizes[enc] = len(body)
+    assert sizes["bf16"] <= sizes["f32"] // 2 + 64
+    assert sizes["u16"] <= sizes["f32"] // 2 + 64
+    assert sizes["f32"] <= sizes["mat"]
+
+    # zlib composes with any encoding and still decodes identically.
+    resp, body = _post_mat(server, cube, query="?encoding=u16&compress=zlib")
+    assert resp.status == 200
+    assert resp.headers["Content-Encoding"] == "deflate"
+    got = decode_cube_response(body, resp.headers)
+    np.testing.assert_allclose(got, ref, atol=3.0 * rng_span / 65535.0)
+    # artifacts + zlib keeps the .mat container path working too.
+    resp, body = _post_mat(server, cube, query="?artifacts=1&compress=zlib")
+    assert resp.status == 200
+    import zlib as _zlib
+
+    mat = sio.loadmat(io.BytesIO(_zlib.decompress(body)))
+    assert "R_low" in mat and "data" in mat
+
+
+def test_wire_encoding_bad_requests(server):
+    rng = np.random.RandomState(8)
+    cube = (rng.rand(16, 16, CHANNELS) * 4000).astype(np.float32)
+    resp, body = _post_mat(server, cube, query="?encoding=ascii")
+    assert resp.status == 400 and b"unknown encoding" in body
+    resp, body = _post_mat(server, cube, query="?compress=gzip")
+    assert resp.status == 400 and b"unknown compress" in body
+    resp, body = _post_mat(server, cube, query="?artifacts=1&encoding=u16")
+    assert resp.status == 400 and b"requires encoding=mat" in body
+
+
+def test_encode_cube_unit():
+    from sshslie_tpu.serve import decode_cube_response, encode_cube
+
+    cube = np.linspace(-3.0, 7.0, 4 * 5 * 2, dtype=np.float32).reshape(4, 5, 2)
+    for enc in ("mat", "f32", "bf16", "u16"):
+        blob, headers = encode_cube(cube, enc)
+        got = decode_cube_response(blob, headers)
+        tol = {"mat": 0, "f32": 0, "bf16": 0.05, "u16": 10.0 / 65535}[enc]
+        np.testing.assert_allclose(got, cube, atol=max(tol, 1e-7))
+    # constant cube: u16 scale degenerates to 1.0, still exact.
+    const = np.full((3, 3, 2), 2.5, np.float32)
+    blob, headers = encode_cube(const, "u16")
+    np.testing.assert_allclose(decode_cube_response(blob, headers), const)
+    with pytest.raises(ValueError, match="unknown encoding"):
+        encode_cube(cube, "f64")
+    with pytest.raises(ValueError, match="unknown compress"):
+        encode_cube(cube, "f32", compress="lz4")
+
+
+def test_reduced_wire_fetch_close_to_f32(service):
+    """The on-device bf16/u16 fetch path returns values within precision of
+    the f32 fetch (the d2h-halving lever for slow transports)."""
+    rng = np.random.RandomState(11)
+    cube = (rng.rand(20, 20, CHANNELS) * 4000).astype(np.float32)
+    ref = service.enhance(cube, wire="f32")["S"]
+    for wire, tol in (("bf16", 0.01 * float(np.abs(ref).max())),
+                      ("u16", float(ref.max() - ref.min()) / 65000.0)):
+        got = service.enhance(cube, wire=wire)["S"]
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=max(tol, 1e-5))
