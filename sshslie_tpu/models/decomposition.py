@@ -33,12 +33,15 @@ class DecompositionNet(nn.Module):
     channel: int = 64
     kernel_size: int = 3
     dtype: Optional[jnp.dtype] = None
+    conv_impl: str = "xla"  # 'pallas': hand-written shallow-conv kernels
+                            # (ops/conv_pallas.py) where shapes allow
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         ch, k = self.channel, self.kernel_size
         conv0 = Conv2d(ch // 2, k, use_relu=True, dtype=self.dtype, name="conv0")(x)
-        shallow = Conv2d(ch, k * 3, use_relu=False, dtype=self.dtype, name="shallow_conv")(x)
+        shallow = Conv2d(ch, k * 3, use_relu=False, dtype=self.dtype,
+                         impl=self.conv_impl, name="shallow_conv")(x)
         conv1 = Conv2d(ch, k, use_relu=True, dtype=self.dtype, name="conv1")(shallow)
         conv2 = Conv2d(ch * 2, k, stride=2, use_relu=True, dtype=self.dtype, name="conv2")(conv1)
         conv3 = Conv2d(ch * 2, k, use_relu=True, dtype=self.dtype, name="conv3")(conv2)

@@ -26,11 +26,13 @@ class LowLightEnhanceNet(nn.Module):
     use_attention: bool = False
     use_transformer: bool = True
     attention_impl: str = "auto"
+    conv_impl: str = "xla"
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.decomposition_net = DecompositionNet(
-            in_channels=self.input_channels, channel=self.channel, dtype=self.dtype
+            in_channels=self.input_channels, channel=self.channel,
+            dtype=self.dtype, conv_impl=self.conv_impl,
         )
         self.illum_adjust_net = IllumAdjustmentNet(
             in_channels=self.input_channels,

@@ -54,6 +54,7 @@ class Conv2d(nn.Module):
     stride: int = 1
     use_relu: bool = False
     dtype: Optional[jnp.dtype] = None
+    impl: str = "xla"  # 'pallas' routes supported shapes to ops/conv_pallas
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -65,6 +66,15 @@ class Conv2d(nn.Module):
         )
         bias = self.param("bias", torch_uniform_init(fan_in), (self.features,))
         dtype = self.dtype or x.dtype
+        if self.impl == "pallas" and self.stride == 1:
+            from sshslie_tpu.ops.conv_pallas import conv9_supported, shallow_conv
+
+            if conv9_supported(x.shape, k, in_ch, self.features):
+                y = shallow_conv(
+                    x.astype(dtype), kernel.astype(dtype),
+                    bias.astype(dtype), impl="pallas",
+                )
+                return jax.nn.relu(y) if self.use_relu else y
         pad = (k - 1) // 2
         y = jax.lax.conv_general_dilated(
             x.astype(dtype),

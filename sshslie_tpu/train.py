@@ -95,6 +95,10 @@ def build_model(cfg: Config, channels: int) -> LowLightEnhanceNet:
         use_attention=cfg.use_attention,
         use_transformer=cfg.use_transformer,
         attention_impl=cfg.attention_impl,
+        # 'auto' currently resolves to the XLA emitter; the Pallas shallow-
+        # conv kernels are opt-in until their on-chip A/B is recorded in
+        # docs/PERFORMANCE.md (then auto flips where they win).
+        conv_impl="pallas" if cfg.conv_impl == "pallas" else "xla",
         dtype=dtype,
     )
 
