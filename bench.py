@@ -65,7 +65,8 @@ def _step_flops(step, *example_args) -> float | None:
 
 
 def measure(batch: int, patch: int, channels: int, steps: int, warmup: int,
-            precision: str, attention_impl: str = "auto") -> dict:
+            precision: str, attention_impl: str = "auto",
+            conv_impl: str = "auto") -> dict:
     """Time the jitted train step at one workload; returns throughput + FLOPs."""
     import jax
     import jax.numpy as jnp
@@ -77,7 +78,8 @@ def measure(batch: int, patch: int, channels: int, steps: int, warmup: int,
     )
 
     cfg = Config(channels=channels, patch_size=patch, batch_size=batch,
-                 precision=precision, attention_impl=attention_impl)
+                 precision=precision, attention_impl=attention_impl,
+                 conv_impl=conv_impl)
     model = build_model(cfg, cfg.channels)
     params = init_params(model, 0, cfg.patch_size)
     tx = make_optimizer()
@@ -157,6 +159,9 @@ def main(argv=None):
                     help="jax_default_matmul_precision ('' = backend default: "
                          "bf16 MXU passes; 'float32' forces full precision)")
     ap.add_argument("--attention_impl", default="auto")
+    ap.add_argument("--conv_impl", default="auto",
+                    help="'pallas' routes the shallow conv to the "
+                         "hand-written Mosaic kernels (ops/conv_pallas.py)")
     ap.add_argument("--no-best", action="store_true",
                     help="skip the second, throughput-optimal (b8/bf16) run")
     ap.add_argument("--extra", action="store_true", help="also bench full-cube inference")
@@ -174,7 +179,8 @@ def main(argv=None):
     enable_jit_cache()
 
     ref = measure(args.batch, args.patch, args.channels, args.steps,
-                  args.warmup, args.precision, args.attention_impl)
+                  args.warmup, args.precision, args.attention_impl,
+                  args.conv_impl)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "baseline_torch_cpu.json")
@@ -197,6 +203,8 @@ def main(argv=None):
     }
     if args.matmul_precision:
         result["matmul_precision"] = args.matmul_precision
+    if args.conv_impl != "auto":
+        result["conv_impl"] = args.conv_impl
     for k in ("flops_per_step", "tflops_eff", "mfu_pct", "peak_tflops_bf16"):
         if k in ref:
             result[k] = ref[k]
@@ -206,7 +214,7 @@ def main(argv=None):
         # halves HBM traffic. Reported alongside (not instead of) the
         # reference-workload number.
         best = measure(8, args.patch, args.channels, args.steps, args.warmup,
-                       "bfloat16", args.attention_impl)
+                       "bfloat16", args.attention_impl, args.conv_impl)
         if vs_baseline is not None:
             best["vs_baseline"] = round(best["value"] / base["mpb_per_sec"], 2)
         result["best"] = best

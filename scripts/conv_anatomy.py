@@ -357,6 +357,70 @@ def reformulations(batch, dtype_name, n1, n2):
     return out
 
 
+def pallas_ab(batch, dtype_name, n1, n2):
+    """Round-4 VERDICT #1: the one reformulation class that bypasses the XLA
+    conv emitter — hand-written Mosaic kernels (ops/conv_pallas.py) — timed
+    per-pass against the native emitter on the measured-weak shallow conv
+    (9×9, 64→64, 128²). Same chain-differencing methodology as the round-3
+    reformulations, so the columns are comparable."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from sshslie_tpu.ops.conv_pallas import (
+        _dgrad_weights, conv9_fwd, conv9_wgrad)
+
+    DN = ("NHWC", "HWIO", "NHWC")
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    k, cin, cout, hw = 9, 64, 64, 128
+    kx, kw, kd = jax.random.split(jax.random.PRNGKey(2), 3)
+    x = jax.random.uniform(kx, (batch, hw, hw, cin), jnp.float32).astype(dtype)
+    w = (jax.random.uniform(kw, (k, k, cin, cout), jnp.float32) * 0.1).astype(dtype)
+    dy = jax.random.uniform(kd, (batch, hw, hw, cout), jnp.float32).astype(dtype)
+    gflop = 2 * batch * hw * hw * k * k * cin * cout / 1e9
+    # The width-paired kernels do (k+1)/k more MXU work (phantom column);
+    # report achieved TF/s on the USEFUL flops so columns stay comparable.
+
+    def conv(a, b):
+        return lax.conv_general_dilated(a, b, (1, 1), "SAME",
+                                        dimension_numbers=DN)
+
+    cases = {}
+
+    def add(name, native_fn, pallas_fn, probe):
+        ref = np.asarray(native_fn(probe), np.float32)
+        alt = np.asarray(pallas_fn(probe), np.float32)
+        rel = float(np.max(np.abs(ref - alt)) / (np.max(np.abs(ref)) + 1e-9))
+        t_nat = chain_time(native_fn, probe, n1, n2)
+        t_pal = chain_time(pallas_fn, probe, n1, n2)
+        cases[name] = {
+            "native_ms": round(t_nat * 1e3, 4),
+            "pallas_ms": round(t_pal * 1e3, 4),
+            "native_tflops": round(gflop / t_nat / 1e3, 1),
+            "pallas_tflops": round(gflop / t_pal / 1e3, 1),
+            "speedup": round(t_nat / t_pal, 3), "max_rel_delta": rel,
+        }
+
+    add("shallow_fwd",
+        lambda x_: conv(x_, w),
+        lambda x_: conv9_fwd(x_, w),
+        x)
+    w_rev = _dgrad_weights(w)
+    add("shallow_dgrad",
+        lambda d: jax.grad(
+            lambda xx: jnp.vdot(conv(xx, w).astype(jnp.float32),
+                                d.astype(jnp.float32)))(x),
+        lambda d: conv9_fwd(d, w_rev),
+        dy)
+    add("shallow_wgrad",
+        lambda d: jax.grad(
+            lambda w_: jnp.vdot(conv(x, w_).astype(jnp.float32),
+                                d.astype(jnp.float32)))(w).astype(dtype),
+        lambda d: conv9_wgrad(x, d, k).astype(dtype),
+        dy)
+    return cases
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
@@ -368,6 +432,9 @@ def main(argv=None):
     ap.add_argument("--trace_dir", default="/tmp/sshslie_conv_anatomy")
     ap.add_argument("--skip-reform", action="store_true")
     ap.add_argument("--skip-profile", action="store_true")
+    ap.add_argument("--pallas", action="store_true",
+                    help="A/B the hand-written Pallas shallow-conv kernels "
+                         "against the native emitter (TPU only)")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
 
@@ -389,6 +456,14 @@ def main(argv=None):
     if not args.skip_reform:
         report["reformulations"] = reformulations(
             args.batch, args.precision, args.n1, args.n2)
+    if args.pallas:
+        report["pallas"] = pallas_ab(
+            args.batch, args.precision, args.n1, args.n2)
+        for name, c in report["pallas"].items():
+            print(f"pallas {name:14s} native {c['native_ms']:7.3f} ms "
+                  f"({c['native_tflops']} TF/s)  pallas {c['pallas_ms']:7.3f} ms "
+                  f"({c['pallas_tflops']} TF/s)  x{c['speedup']} "
+                  f"relΔ {c['max_rel_delta']:.2e}", file=sys.stderr)
     print(json.dumps(report, indent=2))
     if args.out:
         with open(args.out, "w") as fh:

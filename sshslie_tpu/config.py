@@ -96,7 +96,7 @@ class Config:
     precision: str = "float32"            # 'float32' | 'bfloat16' compute dtype for the nets
     matmul_precision: str = ""            # '' = backend default (bf16 MXU passes on TPU) | 'tensorfloat32' | 'float32'/'highest'
     attention_impl: str = "auto"          # 'auto' | 'xla' | 'pallas' | 'chunked'
-    conv_impl: str = "auto"               # 'auto' | 'xla' | 'pallas': shallow-conv kernel path (ops/conv_pallas.py); auto = xla pending the on-chip A/B
+    conv_impl: str = "auto"               # 'auto'|'xla'|'pallas'|'pallas_dgrad': shallow-conv kernel path (ops/conv_pallas.py; measured dispositions in docs/PERFORMANCE.md r4)
     use_attention: bool = False           # SEBlock variant (reference model.py:122,130-131)
     use_transformer: bool = True          # TransformerBlock variant (reference default)
     mesh_shape: str = ""                  # e.g. '8' or '4x2'; '' = all local devices, 1-D data mesh
@@ -194,7 +194,7 @@ _ENUM_FIELDS: dict[str, tuple] = {
     "matmul_precision": ("", "default", "bfloat16", "high",
                          "tensorfloat32", "float32", "highest"),
     "attention_impl": ("auto", "xla", "pallas", "chunked"),
-    "conv_impl": ("auto", "xla", "pallas"),
+    "conv_impl": ("auto", "xla", "pallas", "pallas_dgrad"),
     "sampler": ("auto", "native", "python"),
     "fused_pipeline": ("auto", "on", "off"),
     "serve_quantize": ("", "int8", "fp8"),

@@ -66,13 +66,13 @@ class Conv2d(nn.Module):
         )
         bias = self.param("bias", torch_uniform_init(fan_in), (self.features,))
         dtype = self.dtype or x.dtype
-        if self.impl == "pallas" and self.stride == 1:
+        if self.impl in ("pallas", "pallas_dgrad") and self.stride == 1:
             from sshslie_tpu.ops.conv_pallas import conv9_supported, shallow_conv
 
             if conv9_supported(x.shape, k, in_ch, self.features):
                 y = shallow_conv(
                     x.astype(dtype), kernel.astype(dtype),
-                    bias.astype(dtype), impl="pallas",
+                    bias.astype(dtype), impl=self.impl,
                 )
                 return jax.nn.relu(y) if self.use_relu else y
         pad = (k - 1) // 2

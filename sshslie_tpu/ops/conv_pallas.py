@@ -111,9 +111,14 @@ def _pair_input(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.concatenate([xp[:, :, :-1, :], xp[:, :, 1:, :]], axis=-1)
 
 
-def _fwd_kernel(k: int, th: int, xp_ref, wp_ref, out_ref, x_t, acc_ref, sem):
+def _fwd_kernel(k: int, th: int, xp_ref, wp_ref, out_ref, x_t, sem):
     """One (TH, TW, 64) output tile: DMA the halo'd width-paired window,
-    then k·⌈k/2⌉ full-contraction matmuls accumulating in f32."""
+    then k·⌈k/2⌉ full-contraction matmuls accumulating in f32.
+
+    The accumulator is an SSA value, not a VMEM ref: letting Mosaic schedule
+    it (instead of forcing a read-modify-write of a (M, 64) scratch per
+    matmul) measured 1.38× on the fwd pass (78.8 vs 57.0 TF/s, b8 bf16 —
+    docs/conv_anatomy_r4.json)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -124,17 +129,17 @@ def _fwd_kernel(k: int, th: int, xp_ref, wp_ref, out_ref, x_t, acc_ref, sem):
     )
     dma.start()
     dma.wait()
-    acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
     m = th * _TW
     half = (k + 1) // 2
+    acc = jnp.zeros((m, _CO), jnp.float32)
     for kh in range(k):
         for kwp in range(half):
-            acc_ref[:] += jnp.dot(
+            acc = acc + jnp.dot(
                 x_t[kh:kh + th, 2 * kwp:2 * kwp + _TW, :].reshape(m, 2 * _CI),
                 wp_ref[kh * half + kwp],
                 preferred_element_type=jnp.float32,
             )
-    out_ref[0] = acc_ref[:].reshape(th, _TW, _CO).astype(out_ref.dtype)
+    out_ref[0] = acc.reshape(th, _TW, _CO).astype(out_ref.dtype)
 
 
 def conv9_fwd(x: jnp.ndarray, w: jnp.ndarray,
@@ -162,7 +167,6 @@ def conv9_fwd(x: jnp.ndarray, w: jnp.ndarray,
         ),
         scratch_shapes=[
             pltpu.VMEM((th + k - 1, _TW + k - 1, 2 * _CI), x.dtype),
-            pltpu.VMEM((th * _TW, _CO), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
@@ -266,7 +270,17 @@ def _psc_bwd(interpret, res, g):
     x, w = res
     g = g.astype(x.dtype)
     dx = conv9_fwd(g, _dgrad_weights(w).astype(x.dtype), interpret=interpret)
-    dw = conv9_wgrad(x, g, w.shape[0], interpret=interpret).astype(w.dtype)
+    # wgrad stays on the XLA emitter: its native wgrad measured 82.7 TF/s vs
+    # the Pallas kernel's 77.5 (b8 bf16, docs/conv_anatomy_r4.json) — the
+    # emitter's weak passes are fwd/dgrad, not wgrad. conv9_wgrad remains
+    # in-tree as the measured negative result.
+    k = w.shape[0]
+    pad = (k - 1) // 2
+    _, dw_vjp = jax.vjp(
+        lambda w_: jax.lax.conv_general_dilated(
+            x, w_, (1, 1), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")), w)
+    dw = dw_vjp(g)[0]
     db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(w.dtype)
     return dx.astype(x.dtype), dw, db
 
@@ -274,16 +288,58 @@ def _psc_bwd(interpret, res, g):
 pallas_shallow_conv.defvjp(_psc_fwd, _psc_bwd)
 
 
+def _xla_conv(x, w):
+    k = w.shape[0]
+    pad = (k - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(1, 1),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def pallas_dgrad_conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Shallow conv whose ONLY Pallas pass is dgrad (the emitter's weakest:
+    48.0 vs 71.4 TF/s measured, docs/conv_anatomy_r4.json); fwd and wgrad
+    stay on the emitter. One custom-call per step bounds the layout damage
+    a Pallas boundary inflicts on the surrounding graph (see
+    docs/PERFORMANCE.md round-4 section)."""
+    return _xla_conv(x, w) + b.astype(x.dtype)
+
+
+def _pdc_fwd(x, w, b, interpret):
+    return pallas_dgrad_conv(x, w, b, interpret), (x, w)
+
+
+def _pdc_bwd(interpret, res, g):
+    x, w = res
+    g = g.astype(x.dtype)
+    dx = conv9_fwd(g, _dgrad_weights(w).astype(x.dtype), interpret=interpret)
+    _, dw_vjp = jax.vjp(lambda w_: _xla_conv(x, w_), w)
+    dw = dw_vjp(g)[0]
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(w.dtype)
+    return dx.astype(x.dtype), dw, db
+
+
+pallas_dgrad_conv.defvjp(_pdc_fwd, _pdc_bwd)
+
+
 def shallow_conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
                  impl: str = "xla",
                  interpret: Optional[bool] = None) -> jnp.ndarray:
     """Impl-dispatching shallow conv: Pallas when asked for and supported,
-    the XLA emitter otherwise. Both compute the same stride-1 SAME conv."""
+    the XLA emitter otherwise. All impls compute the same stride-1 SAME
+    conv; 'pallas' routes all passes through the Mosaic kernels,
+    'pallas_dgrad' only the input gradient."""
     k = w.shape[0]
-    if impl == "pallas" and conv9_supported(x.shape, k, x.shape[-1],
-                                            w.shape[-1]):
+    if impl in ("pallas", "pallas_dgrad") and conv9_supported(
+            x.shape, k, x.shape[-1], w.shape[-1]):
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
+        if impl == "pallas_dgrad":
+            return pallas_dgrad_conv(x, w, b, interpret)
         return pallas_shallow_conv(x, w, b, interpret)
     pad = (k - 1) // 2
     y = jax.lax.conv_general_dilated(

@@ -95,10 +95,12 @@ def build_model(cfg: Config, channels: int) -> LowLightEnhanceNet:
         use_attention=cfg.use_attention,
         use_transformer=cfg.use_transformer,
         attention_impl=cfg.attention_impl,
-        # 'auto' currently resolves to the XLA emitter; the Pallas shallow-
-        # conv kernels are opt-in until their on-chip A/B is recorded in
-        # docs/PERFORMANCE.md (then auto flips where they win).
-        conv_impl="pallas" if cfg.conv_impl == "pallas" else "xla",
+        # 'auto' resolves to the XLA emitter: the Pallas kernels win
+        # per-op (dgrad 1.49x) but lose at step level to custom-call layout
+        # propagation — measured in docs/PERFORMANCE.md round-4. The knobs
+        # stay for narrower-graph uses and future Mosaic layout support.
+        conv_impl=cfg.conv_impl if cfg.conv_impl in (
+            "pallas", "pallas_dgrad") else "xla",
         dtype=dtype,
     )
 

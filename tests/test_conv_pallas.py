@@ -115,6 +115,31 @@ class TestInterpretCorrectness:
         )
 
 
+class TestPallasDgradVariant:
+    def test_fwd_is_emitter_and_vjp_matches(self, nprng):
+        from sshslie_tpu.ops.conv_pallas import pallas_dgrad_conv
+
+        x, w, b = _inputs(nprng)
+
+        def loss(conv):
+            return lambda x, w, b: jnp.sum(jnp.sin(conv(x, w, b)))
+
+        ref_y = _xla_conv(x, w, b)
+        got_y = pallas_dgrad_conv(x, w, b, True)
+        np.testing.assert_allclose(got_y, ref_y, atol=1e-6)
+        gr = jax.grad(loss(_xla_conv), argnums=(0, 1, 2))(x, w, b)
+        gp = jax.grad(
+            loss(lambda x, w, b: pallas_dgrad_conv(x, w, b, True)),
+            argnums=(0, 1, 2),
+        )(x, w, b)
+        for name, a, c in zip("dx dw db".split(), gr, gp):
+            scale = float(jnp.abs(a).max()) or 1.0
+            np.testing.assert_allclose(
+                c, a, atol=5e-4 * scale, rtol=1e-3,
+                err_msg=f"{name} mismatch",
+            )
+
+
 class TestDispatch:
     def test_unsupported_shape_falls_back_to_xla(self, nprng):
         x, w, b = _inputs(nprng, w=100)  # W % 128 != 0
