@@ -137,6 +137,10 @@ def main(argv=None):
     }
 
     # --- decomposition probes -------------------------------------------
+    # Claim the device + warm the transport off the clock first: the
+    # process's first device op pays client init (measured 211 s vs 13 s
+    # for the same 256 MB upload warm through the relay).
+    float(jnp.sum(jnp.ones((8, 128))))
     t0 = time.perf_counter()
     window0 = np.stack([store[i] for i in range(args.window)])
     report["disk_load_window_cold_s"] = round(time.perf_counter() - t0, 3)
