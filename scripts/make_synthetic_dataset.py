@@ -27,13 +27,45 @@ import yaml
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_scene(rng, size, channels, data_max):
-    """Smooth spectral scene (bilinear-upsampled random low-res cube)."""
+def make_scene(rng, size, channels, data_max, kind="smooth"):
+    """Synthetic spectral scene.
+
+    'smooth'  bilinear-upsampled random low-res cube (round-1 default; no
+              spatial structure — trains, but the enhanced output shows the
+              brightness-plateau effect, docs/PERFORMANCE.md).
+    'blocks'  piecewise scene: ~12 overlapping rectangles, each with its own
+              smooth spectrum (2-3 Gaussian bumps over the band axis) on a
+              textured albedo — gives the self-supervised losses real
+              reflectance structure to latch onto, so galleries/demos show
+              recognizable regions instead of noise."""
     import scipy.ndimage as ndi
 
-    low = rng.rand(max(size // 16, 2), max(size // 16, 2), channels)
-    zoom = (size / low.shape[0], size / low.shape[1], 1)
-    scene = ndi.zoom(low, zoom, order=1)[:size, :size]
+    if kind == "smooth":
+        low = rng.rand(max(size // 16, 2), max(size // 16, 2), channels)
+        zoom = (size / low.shape[0], size / low.shape[1], 1)
+        scene = ndi.zoom(low, zoom, order=1)[:size, :size]
+        return np.clip(scene * data_max, 0, data_max)
+
+    bands = np.arange(channels, dtype=np.float64)
+
+    def spectrum():
+        s = np.full(channels, 0.08 + 0.12 * rng.rand())
+        for _ in range(rng.randint(2, 4)):
+            c = rng.rand() * channels
+            wdt = channels * (0.08 + 0.25 * rng.rand())
+            s = s + (0.3 + 0.7 * rng.rand()) * np.exp(
+                -0.5 * ((bands - c) / wdt) ** 2)
+        return np.clip(s / s.max(), 0.02, 1.0)
+
+    scene = np.ones((size, size, 1)) * spectrum()[None, None, :] * 0.35
+    for _ in range(12):
+        x0, y0 = rng.randint(0, size, 2)
+        wdt, hgt = rng.randint(size // 8, size // 2, 2)
+        scene[y0:y0 + hgt, x0:x0 + wdt, :] = spectrum()[None, None, :]
+    # gentle spatial texture so reflectance isn't piecewise-constant
+    tex = ndi.zoom(rng.rand(max(size // 8, 2), max(size // 8, 2)),
+                   (size / max(size // 8, 2),) * 2, order=1)[:size, :size]
+    scene = scene * (0.75 + 0.5 * tex[..., None])
     return np.clip(scene * data_max, 0, data_max)
 
 
@@ -61,6 +93,7 @@ def main(argv=None):
     ap.add_argument("--noise", type=float, default=8.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--scene", default="smooth", choices=["smooth", "blocks"])
     args = ap.parse_args(argv)
 
     rng = np.random.RandomState(args.seed)
@@ -69,7 +102,8 @@ def main(argv=None):
 
     def write(split, n, with_gt):
         for i in range(n):
-            scene = make_scene(rng, args.size, args.channels, args.data_max)
+            scene = make_scene(rng, args.size, args.channels, args.data_max,
+                               kind=args.scene)
             name = f"{split.split('/')[-1]}{i}.mat"
             sio.savemat(os.path.join(args.out, "low", split.split("/")[-1], name),
                         {"data": darken(rng, scene, args.data_max, args.noise)})

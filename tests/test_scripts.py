@@ -118,6 +118,70 @@ def test_make_synthetic_dataset_cli(tmp_path):
     assert cfg.channels == 6 and cfg.epoch == 3
 
 
+def test_make_synthetic_dataset_blocks_scene(tmp_path):
+    """--scene blocks: piecewise spectra with real structure (the gallery
+    source); still darker lows, same layout."""
+    import scipy.io as sio
+
+    import scripts.make_synthetic_dataset as gen
+
+    out = tmp_path / "blocks"
+    gen.main(["--out", str(out), "--size", "48", "--channels", "6",
+              "--train", "1", "--eval", "1", "--test", "1",
+              "--scene", "blocks"])
+    low = sio.loadmat(str(next((out / "low/test").glob("*.mat"))))["data"]
+    high = sio.loadmat(str(next((out / "high/test").glob("*.mat"))))["data"]
+    assert low.mean() < 0.5 * high.mean()
+    # piecewise structure: distinct spectra across regions → the per-pixel
+    # spectral argmax is not a single global band everywhere
+    import numpy as np
+
+    assert len(np.unique(high.argmax(axis=2))) > 1
+
+
+def test_make_gallery_cli(tmp_path):
+    """scripts/make_gallery.py writes the reference-style before/after pairs
+    plus grid and spectra figures from a (low, enhanced, GT) triplet."""
+    import numpy as np
+    import scipy.io as sio
+
+    import scripts.make_gallery as mg
+
+    rng = np.random.RandomState(0)
+    base = rng.rand(32, 32, 6).astype(np.float32)
+    for sub, scale in (("low", 300.0), ("enh", 3500.0), ("gt", 3800.0)):
+        os.makedirs(tmp_path / sub, exist_ok=True)
+        sio.savemat(str(tmp_path / sub / "t0.mat"),
+                    {"data": (base * scale).astype(np.float32)})
+    written = mg.main([
+        "--low_dir", str(tmp_path / "low"),
+        "--enhanced_dir", str(tmp_path / "enh"),
+        "--gt_dir", str(tmp_path / "gt"),
+        "--out", str(tmp_path / "gal"),
+        "--data_max", "4095", "--points", "16,16",
+    ])
+    names = {os.path.relpath(p, tmp_path / "gal") for p in written}
+    assert {"before/t0.png", "after/t0.png", "grid_t0.png"} <= names
+    assert any(n.startswith("spectra_t0") for n in names)
+
+
+def test_fused_window_bench_cli(tmp_path):
+    """scripts/fused_window_bench.py end-to-end on CPU at toy scale: both
+    pipelines train, the report carries the swap decomposition fields."""
+    import scripts.fused_window_bench as fwb
+
+    report = fwb.main([
+        "--n", "4", "--size", "48", "--channels", "6", "--window", "2",
+        "--batch", "2", "--patch", "16", "--epochs", "2",
+        "--data", str(tmp_path / "cubes"), "--device", "cpu",
+    ])
+    for key in ("resident", "windowed", "disk_load_window_cold_s",
+                "h2d_window_forced_s"):
+        assert key in report, key
+    assert report["windowed"]["swap_visible_s"]
+    assert np.isfinite(report["windowed"]["final_loss"])
+
+
 @pytest.mark.skipif(not os.path.exists("/root/reference/model.py"),
                     reason="reference checkout not available")
 def test_parity_ab_study_small(tmp_path):
