@@ -34,6 +34,10 @@ HTTP surface (stdlib only):
     responses carry shape/dtype/scale in ``X-Cube-*`` headers;
     :func:`decode_cube_response` is the client-side inverse. Binary
     encodings cover S only — ``artifacts=1`` requires ``encoding=mat``.
+    The same scheme works on the way IN: request bodies default to .mat,
+    but a client can POST a raw f32/bf16/u16 cube (optionally deflated)
+    by setting the ``X-Cube-*`` / ``Content-Encoding`` request headers
+    that :func:`encode_cube` produces — halving the uplink bytes too.
 
 CLI: ``python -m sshslie_tpu.serve --config config/x.yml --test_timestamp TS``
 or ``python main.py --config ... --phase serve``.
@@ -126,17 +130,38 @@ def encode_cube(
 def decode_cube_response(
     blob: bytes, headers, mat_key: str = "data"
 ) -> np.ndarray:
-    """Client-side inverse of :func:`encode_cube` → float32 (H, W, C) cube.
+    """Inverse of :func:`encode_cube` → float32 (H, W, C) cube.
 
-    ``headers`` is any mapping with .get (http.client responses qualify)."""
+    ``headers`` is any mapping with ``.get`` — http.client responses AND
+    http.server request messages qualify, so this one function is both the
+    client-side response decoder and the server-side decoder for binary
+    *request* bodies (clients on slow uplinks POST u16/bf16 raw cubes with
+    the same ``X-Cube-*`` headers instead of a 4-byte/value .mat). All
+    malformed-payload failures raise ValueError (→ HTTP 400 server-side)."""
     if headers.get("Content-Encoding", "") == "deflate":
         import zlib
 
-        blob = zlib.decompress(blob)
+        try:
+            blob = zlib.decompress(blob)
+        except zlib.error as e:
+            raise ValueError(f"deflate payload failed to decompress: {e}")
     encoding = headers.get("X-Cube-Encoding", "mat")
     if encoding == "mat":
         return io_hsi.load_hsi_bytes(blob, mat_key=mat_key)
-    shape = tuple(int(d) for d in headers["X-Cube-Shape"].split("x"))
+    shape_hdr = headers.get("X-Cube-Shape")
+    if not shape_hdr:
+        raise ValueError(
+            f"binary cube payload (X-Cube-Encoding: {encoding}) is missing "
+            "the X-Cube-Shape header (e.g. '128x128x64')"
+        )
+    try:
+        shape = tuple(int(d) for d in shape_hdr.split("x"))
+    except ValueError:
+        raise ValueError(f"malformed X-Cube-Shape {shape_hdr!r} "
+                         "(expected e.g. '128x128x64')")
+    if len(shape) != 3 or any(d <= 0 for d in shape):
+        raise ValueError(f"X-Cube-Shape {shape_hdr!r} is not a positive "
+                         "HxWxC cube shape")
     if encoding == "f32":
         return np.frombuffer(blob, dtype="<f4").reshape(shape).astype(np.float32)
     if encoding == "bf16":
@@ -148,10 +173,14 @@ def decode_cube_response(
             .astype(np.float32)
         )
     if encoding == "u16":
-        scale = float(headers["X-Cube-Scale"])
-        offset = float(headers["X-Cube-Offset"])
+        scale_hdr = headers.get("X-Cube-Scale")
+        offset_hdr = headers.get("X-Cube-Offset")
+        if scale_hdr is None or offset_hdr is None:
+            raise ValueError("u16 cube payload requires X-Cube-Scale and "
+                             "X-Cube-Offset headers")
         q = np.frombuffer(blob, dtype="<u2").reshape(shape)
-        return (q.astype(np.float64) * scale + offset).astype(np.float32)
+        return (q.astype(np.float64) * float(scale_hdr)
+                + float(offset_hdr)).astype(np.float32)
     raise ValueError(f"unknown X-Cube-Encoding {encoding!r}")
 
 
@@ -528,12 +557,6 @@ class EnhanceService:
 # -- HTTP layer -------------------------------------------------------------
 
 
-def _load_cube_bytes(body: bytes, key: str) -> np.ndarray:
-    """Parse a .mat payload — io_hsi owns the v7/v7.3 dispatch (one copy of
-    the format logic; h5py reads the v7.3 case straight from memory)."""
-    return io_hsi.load_hsi_bytes(body, mat_key=key)
-
-
 # Upper bound on request bodies (covers 1024²×224 float64 cubes with
 # headroom). Streaming larger captures should go through the filesystem
 # API surfaces, not one HTTP body.
@@ -657,7 +680,11 @@ def _make_handler(service: EnhanceService):
                 return
             body = self.rfile.read(length)
             try:
-                cube = _load_cube_bytes(body, key)
+                # Request bodies default to .mat; clients on slow uplinks can
+                # instead POST binary cubes (f32/bf16/u16, optionally
+                # deflated) with the same X-Cube-* headers the responses use
+                # — decode_cube_response handles both directions.
+                cube = decode_cube_response(body, self.headers, mat_key=key)
                 # bf16/u16 responses also fetch device→host at 2 bytes/value
                 # (the d2h link is the latency on slow transports).
                 wire = encoding if encoding in ("bf16", "u16") else "f32"

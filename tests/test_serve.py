@@ -530,3 +530,71 @@ def test_reduced_wire_fetch_close_to_f32(service):
         got = service.enhance(cube, wire=wire)["S"]
         assert got.shape == ref.shape
         np.testing.assert_allclose(got, ref, atol=max(tol, 1e-5))
+
+
+def _post_raw(server, blob, headers, query=""):
+    conn = http.client.HTTPConnection(server.host, server.port, timeout=60)
+    conn.request("POST", "/enhance" + query, body=blob, headers=dict(headers))
+    resp = conn.getresponse()
+    body = resp.read()
+    conn.close()
+    return resp, body
+
+
+def test_binary_request_bodies(server, service):
+    """Request-side wire formats: a client can POST a raw f32/bf16/u16 cube
+    (the X-Cube-* headers encode_cube produces) instead of a .mat body, and
+    gets the same enhancement the .mat path computes on the decoded cube."""
+    from sshslie_tpu.serve import decode_cube_response, encode_cube
+
+    rng = np.random.RandomState(12)
+    cube = (rng.rand(24, 24, CHANNELS) * 4000).astype(np.float32)
+    ref = service.enhance(cube)["S"]
+    for enc in ("f32", "bf16", "u16"):
+        blob, headers = encode_cube(cube, enc)
+        resp, body = _post_raw(server, blob, headers)
+        assert resp.status == 200, body
+        got = decode_cube_response(body, resp.headers)
+        # The jitted forward is deterministic, so the exact expectation is
+        # the .mat-path result on the cube as the server DECODED it (the
+        # only difference is the request encoding's input precision).
+        want = (ref if enc == "f32"
+                else service.enhance(decode_cube_response(blob, headers))["S"])
+        np.testing.assert_allclose(got, want, atol=1e-5)
+    # Deflated binary request (Content-Encoding on the way in).
+    blob, headers = encode_cube(cube, "f32", compress="zlib")
+    resp, body = _post_raw(server, blob, headers)
+    assert resp.status == 200, body
+    np.testing.assert_allclose(
+        decode_cube_response(body, resp.headers), ref, atol=1e-5)
+
+
+def test_binary_request_bad_headers(server):
+    """Malformed binary requests come back as clean 400s, not 500s."""
+    from sshslie_tpu.serve import encode_cube
+
+    cube = np.ones((8, 8, CHANNELS), np.float32)
+    blob, headers = encode_cube(cube, "f32")
+    h = dict(headers)
+    del h["X-Cube-Shape"]
+    resp, body = _post_raw(server, blob, h)
+    assert resp.status == 400 and b"X-Cube-Shape" in body
+    h = dict(headers, **{"X-Cube-Shape": "8x8"})
+    resp, body = _post_raw(server, blob, h)
+    assert resp.status == 400 and b"HxWxC" in body
+    h = dict(headers, **{"X-Cube-Shape": "8xNOPEx6"})
+    resp, body = _post_raw(server, blob, h)
+    assert resp.status == 400 and b"malformed X-Cube-Shape" in body
+    # Payload byte count inconsistent with the declared shape.
+    resp, body = _post_raw(server, blob[:-8], headers)
+    assert resp.status == 400
+    # u16 without its scale/offset headers.
+    blob_u16, h_u16 = encode_cube(cube, "u16")
+    h = {k: v for k, v in h_u16.items() if k != "X-Cube-Scale"}
+    resp, body = _post_raw(server, blob_u16, h)
+    assert resp.status == 400 and b"X-Cube-Scale" in body
+    # Corrupt deflate stream.
+    resp, body = _post_raw(
+        server, b"\x00not-deflate",
+        dict(headers, **{"Content-Encoding": "deflate"}))
+    assert resp.status == 400 and b"decompress" in body
