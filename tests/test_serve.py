@@ -1,6 +1,7 @@
 """Serving path: EnhanceService math, shape buckets, and the HTTP surface."""
 
 import http.client
+import sys
 import io
 import json
 
@@ -598,3 +599,48 @@ def test_binary_request_bad_headers(server):
         server, b"\x00not-deflate",
         dict(headers, **{"Content-Encoding": "deflate"}))
     assert resp.status == 400 and b"decompress" in body
+
+
+def test_serve_client_script(server, service, tmp_path):
+    """scripts/serve_client.py drives the full client side: load → encode →
+    POST → decode → save, for both the default and a binary+zlib wire."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "sshslie_scripts_serve_client",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "serve_client.py"),
+    )
+    sc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sc)
+    enhance_over_http, client_main = sc.enhance_over_http, sc.main
+
+    rng = np.random.RandomState(13)
+    cube = (rng.rand(20, 20, CHANNELS) * 4000).astype(np.float32)
+    inp = tmp_path / "in.mat"
+    sio.savemat(inp, {"data": cube})
+    ref = service.enhance(cube)["S"]
+
+    url = f"http://{server.host}:{server.port}"
+    out1 = tmp_path / "out_mat.mat"
+    client_main([str(inp), str(out1), "--url", url])
+    got = sio.loadmat(out1)["data"]
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    out2 = tmp_path / "out_u16.mat"
+    client_main([str(inp), str(out2), "--url", url,
+                 "--request_encoding", "u16", "--encoding", "u16",
+                 "--compress", "zlib"])
+    got2 = sio.loadmat(out2)["data"]
+    span = float(ref.max() - ref.min())
+    assert np.abs(got2 - ref).max() < 4 * span / 65535 + 1e-4
+
+    # artifacts round-trip through the library entry point
+    result, headers, _ = enhance_over_http(url, cube, artifacts=True)
+    assert {"data", "R_low", "I_low", "I_delta"} <= set(result)
+    np.testing.assert_allclose(result["data"], ref, atol=1e-5)
+
+    # server error surfaces as RuntimeError with the message
+    with pytest.raises(RuntimeError, match="requires encoding=mat"):
+        enhance_over_http(url, cube, encoding="u16", artifacts=True)
