@@ -17,9 +17,11 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _clean_env():
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
+    # NOTE: JAX_PLATFORMS in the env is a NO-OP here — the container's
+    # sitecustomize snapshots it away before user code runs (that's the
+    # whole reason dryrun_multichip bootstraps its platform in-process).
+    # Forcing CPU must happen via jax.config.update inside the subprocess.
     env.pop("JAX_PLATFORMS", None)
-    # Keep subprocess compiles off the relay and cached alongside the suite's.
-    env["JAX_PLATFORMS"] = "cpu"
     return env
 
 
@@ -50,9 +52,15 @@ def test_dryrun_multichip_odd_device_count_uses_1d_mesh():
 
 
 def test_entry_compiles_single_chip():
+    # Force CPU IN-PROCESS (env vars are snapshotted away, see _clean_env):
+    # without this the subprocess compiles on the real TPU relay, which made
+    # the CI suite contend with (and hang on) live TPU sessions. The driver
+    # itself still compile-checks entry() on the real chip.
     proc = subprocess.run(
         [sys.executable, "-c",
-         "import jax, __graft_entry__;"
+         "import torch, jax;"  # torch first: TPU-client import-order rule
+         "jax.config.update('jax_platforms', 'cpu');"
+         "import __graft_entry__;"
          "fn, args = __graft_entry__.entry();"
          "out = jax.jit(fn)(*args);"
          "jax.block_until_ready(out); print('entry ok', out[3].shape)"],
