@@ -270,8 +270,8 @@ def _psc_bwd(interpret, res, g):
     x, w = res
     g = g.astype(x.dtype)
     dx = conv9_fwd(g, _dgrad_weights(w).astype(x.dtype), interpret=interpret)
-    # wgrad stays on the XLA emitter: its native wgrad measured 82.7 TF/s vs
-    # the Pallas kernel's 77.5 (b8 bf16, docs/conv_anatomy_r4.json) — the
+    # wgrad stays on the XLA emitter: its native wgrad measured 81.9 TF/s vs
+    # the Pallas kernel's 77.9 (b8 bf16, docs/conv_anatomy_r4.json) — the
     # emitter's weak passes are fwd/dgrad, not wgrad. conv9_wgrad remains
     # in-tree as the measured negative result.
     k = w.shape[0]
