@@ -178,6 +178,20 @@ def main(argv=None):
 
     enable_jit_cache()
 
+    # The relay's remote end recycles occasionally and the first backend
+    # init then fails UNAVAILABLE for a few minutes; retry before giving up
+    # so a transient outage doesn't cost the whole benchmark session.
+    for attempt in range(5):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            if "UNAVAILABLE" not in str(e) or attempt == 4:
+                raise
+            print(f"backend unavailable (attempt {attempt + 1}/5), "
+                  "retrying in 120 s...", file=sys.stderr)
+            time.sleep(120.0)
+
     ref = measure(args.batch, args.patch, args.channels, args.steps,
                   args.warmup, args.precision, args.attention_impl,
                   args.conv_impl)
