@@ -80,6 +80,51 @@ def run_case(cfg_kwargs, size, channels, requests, threads, label, wire="f32"):
     }
 
 
+def interleaved_wire_case(size, channels, requests_per_enc, encodings):
+    """Per-request-interleaved wire-format A/B on ONE service session.
+
+    Back-to-back per-encoding cases (run_case) are confounded by relay
+    session drift at large cubes (±20% between identical cases at 512² —
+    docs/serve_wire_512_r4.json): the transport's throughput wanders on a
+    timescale comparable to a whole case. Interleaving the encodings
+    request-by-request inside one session makes every encoding sample every
+    drift regime, so the per-encoding medians are directly comparable —
+    the same chain-differencing idea bench.py uses, applied to serving."""
+    from sshslie_tpu.config import Config
+    from sshslie_tpu.serve import EnhanceService
+
+    cfg = Config(channels=channels, normalization="global_normalization",
+                 global_min=0.0, global_max=4095.0, serve_max_batch=1)
+    service = EnhanceService(cfg, channels)
+    service.warmup([(size, size)])
+    rng = np.random.RandomState(0)
+    cube = (rng.rand(size, size, channels) * 4000.0).astype(np.float32)
+    for enc in encodings:  # prime every wire path once (first-use jits)
+        service.enhance(cube, wire=enc)
+    lat = {enc: [] for enc in encodings}
+    for i in range(requests_per_enc * len(encodings)):
+        enc = encodings[i % len(encodings)]
+        t0 = time.perf_counter()
+        out = service.enhance(cube, wire=enc)
+        lat[enc].append(time.perf_counter() - t0)
+        assert out["S"].shape == (size, size, channels)
+    per_enc = {}
+    for enc in encodings:
+        arr = np.sort(np.array(lat[enc]))
+        per_enc[enc] = {
+            "latency_p50_ms": round(float(arr[len(arr) // 2]) * 1e3, 1),
+            "latency_p95_ms": round(
+                float(np.percentile(arr, 95, method="higher")) * 1e3, 1),
+        }
+    base = per_enc.get("f32") or per_enc[encodings[0]]
+    for enc in encodings:
+        per_enc[enc]["speedup_p50_vs_f32"] = round(
+            base["latency_p50_ms"] / per_enc[enc]["latency_p50_ms"], 2)
+    return {"case": "wire_interleaved_t1",
+            "requests_per_encoding": requests_per_enc,
+            "encodings": per_enc}
+
+
 def cold_bucket_case(size, channels):
     """First-request latency at an UNWARMED shape bucket (includes jit
     compile + bucket setup) vs the immediate second request — the number a
@@ -117,6 +162,14 @@ def main(argv=None):
                     help="comma list from f32,bf16,u16: adds sequential "
                          "1-client cases with the reduced-precision d2h "
                          "fetch (the wire-format lever on slow transports)")
+    ap.add_argument("--interleave", action="store_true",
+                    help="run --encodings as ONE interleaved session "
+                         "(per-request A/B; cancels transport drift) "
+                         "instead of back-to-back cases")
+    ap.add_argument("--no_cold", action="store_true",
+                    help="skip the cold-bucket case (focused wire-format "
+                         "sessions: the +64 bucket compile is minutes of "
+                         "unrelated work)")
     ap.add_argument("--device", default="", help="'cpu' forces the CPU backend")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
@@ -141,11 +194,17 @@ def main(argv=None):
         for kw, label in cases:
             results.append(run_case(kw, args.size, args.channels,
                                     args.requests, th, f"{label}_t{th}"))
-    for enc in [e for e in str(args.encodings).split(",") if e]:
-        results.append(run_case({"serve_max_batch": 1}, args.size,
-                                args.channels, args.requests, 1,
-                                f"wire_{enc}_t1", wire=enc))
-    results.append(cold_bucket_case(args.size, args.channels))
+    encs = [e for e in str(args.encodings).split(",") if e]
+    if encs and args.interleave:
+        results.append(interleaved_wire_case(
+            args.size, args.channels, args.requests, encs))
+    else:
+        for enc in encs:
+            results.append(run_case({"serve_max_batch": 1}, args.size,
+                                    args.channels, args.requests, 1,
+                                    f"wire_{enc}_t1", wire=enc))
+    if not args.no_cold:
+        results.append(cold_bucket_case(args.size, args.channels))
     report = {
         "workload": f"{args.size}x{args.size}x{args.channels}",
         "requests": args.requests,

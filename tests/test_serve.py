@@ -447,6 +447,17 @@ def test_serve_bench_script_run_case():
     )
     assert res_mb["batched_runs"] >= 1 and res_mb["max_batch_seen"] >= 1
 
+    # Interleaved wire A/B: one session, per-encoding stats, f32-relative
+    # speedups present for every encoding (the drift-cancelling mode the
+    # 512² relay measurement needs).
+    res_il = mod.interleaved_wire_case(32, CHANNELS, 3, ["f32", "bf16", "u16"])
+    assert res_il["case"] == "wire_interleaved_t1"
+    for enc in ("f32", "bf16", "u16"):
+        stats = res_il["encodings"][enc]
+        assert stats["latency_p50_ms"] > 0
+        assert stats["speedup_p50_vs_f32"] > 0
+    assert res_il["encodings"]["f32"]["speedup_p50_vs_f32"] == 1.0
+
 
 def test_wire_encodings_roundtrip_and_shrink(server, service):
     """Client-negotiated response encodings (VERDICT r3: transport-bound
