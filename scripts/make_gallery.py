@@ -47,12 +47,16 @@ def _pairs(low_dir: str, enhanced_dir: str):
     for p in sorted(glob.glob(os.path.join(enhanced_dir, "*.mat"))):
         base = os.path.splitext(os.path.basename(p))[0]
         key = base
-        # test outputs may carry suffixes like `_S` / `_epoch`; match prefix
+        # test outputs may carry suffixes like `_S` / `_epoch`; match prefix.
+        # Longest match wins so `test10_S` pairs with `test10`, not `test1`;
+        # warn instead of silently dropping when nothing matches.
         if key not in lows:
             hits = [k for k in lows if base.startswith(k)]
-            if len(hits) != 1:
+            if not hits:
+                print(f"make_gallery: no low input matches enhanced cube "
+                      f"{os.path.basename(p)!r} — skipped")
                 continue
-            key = hits[0]
+            key = max(hits, key=len)
         out.append((key, lows[key], p))
     return out
 

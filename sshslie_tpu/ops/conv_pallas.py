@@ -71,7 +71,9 @@ def conv9_supported(shape: Tuple[int, ...], k: int, ci: int, co: int,
     if len(shape) != 4:
         return False
     _, h, w, _ = shape
-    return h >= 2 and h % _tile_h(h) == 0 and w % _TW == 0 and w > 0
+    # _tile_h always finds a divisor of h (worst case 1), so any h >= 2
+    # tiles; width must fill whole 128-lane output tiles.
+    return h >= 2 and w > 0 and w % _TW == 0
 
 
 def _tile_h(h: int) -> int:
@@ -341,10 +343,4 @@ def shallow_conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         if impl == "pallas_dgrad":
             return pallas_dgrad_conv(x, w, b, interpret)
         return pallas_shallow_conv(x, w, b, interpret)
-    pad = (k - 1) // 2
-    y = jax.lax.conv_general_dilated(
-        x, w.astype(x.dtype), window_strides=(1, 1),
-        padding=((pad, pad), (pad, pad)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    return y + b.astype(x.dtype)
+    return _xla_conv(x, w) + b.astype(x.dtype)

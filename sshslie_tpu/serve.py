@@ -137,31 +137,54 @@ def decode_cube_response(
     client-side response decoder and the server-side decoder for binary
     *request* bodies (clients on slow uplinks POST u16/bf16 raw cubes with
     the same ``X-Cube-*`` headers instead of a 4-byte/value .mat). All
-    malformed-payload failures raise ValueError (→ HTTP 400 server-side)."""
+    malformed-payload failures raise ValueError (→ HTTP 400 server-side).
+
+    Deflated payloads decompress under a hard output bound (the declared
+    cube's exact byte count when X-Cube-Shape is present, ``_MAX_BODY_BYTES``
+    for .mat) — a small deflate bomb otherwise inflates ~1000× and can
+    demand terabytes from an unauthenticated endpoint before any shape
+    validation runs."""
+    encoding = headers.get("X-Cube-Encoding", "mat")
+    if encoding not in WIRE_ENCODINGS:
+        raise ValueError(f"unknown X-Cube-Encoding {encoding!r}")
+    shape = None
+    if encoding != "mat":
+        shape_hdr = headers.get("X-Cube-Shape")
+        if not shape_hdr:
+            raise ValueError(
+                f"binary cube payload (X-Cube-Encoding: {encoding}) is "
+                "missing the X-Cube-Shape header (e.g. '128x128x64')"
+            )
+        try:
+            shape = tuple(int(d) for d in shape_hdr.split("x"))
+        except ValueError:
+            raise ValueError(f"malformed X-Cube-Shape {shape_hdr!r} "
+                             "(expected e.g. '128x128x64')")
+        if len(shape) != 3 or any(d <= 0 for d in shape):
+            raise ValueError(f"X-Cube-Shape {shape_hdr!r} is not a positive "
+                             "HxWxC cube shape")
     if headers.get("Content-Encoding", "") == "deflate":
         import zlib
 
+        itemsize = 4 if encoding == "f32" else 2
+        limit = (shape[0] * shape[1] * shape[2] * itemsize
+                 if shape is not None else _MAX_BODY_BYTES)
+        d = zlib.decompressobj()
         try:
-            blob = zlib.decompress(blob)
+            blob = d.decompress(blob, limit + 1)
         except zlib.error as e:
             raise ValueError(f"deflate payload failed to decompress: {e}")
-    encoding = headers.get("X-Cube-Encoding", "mat")
+        if len(blob) > limit:
+            raise ValueError(
+                f"deflated payload decompresses past its {limit}-byte bound "
+                "(declared shape × itemsize for binary cubes, the body cap "
+                "for .mat)"
+            )
+        if not d.eof:
+            raise ValueError("deflate payload is truncated (incomplete "
+                             "stream)")
     if encoding == "mat":
         return io_hsi.load_hsi_bytes(blob, mat_key=mat_key)
-    shape_hdr = headers.get("X-Cube-Shape")
-    if not shape_hdr:
-        raise ValueError(
-            f"binary cube payload (X-Cube-Encoding: {encoding}) is missing "
-            "the X-Cube-Shape header (e.g. '128x128x64')"
-        )
-    try:
-        shape = tuple(int(d) for d in shape_hdr.split("x"))
-    except ValueError:
-        raise ValueError(f"malformed X-Cube-Shape {shape_hdr!r} "
-                         "(expected e.g. '128x128x64')")
-    if len(shape) != 3 or any(d <= 0 for d in shape):
-        raise ValueError(f"X-Cube-Shape {shape_hdr!r} is not a positive "
-                         "HxWxC cube shape")
     if encoding == "f32":
         return np.frombuffer(blob, dtype="<f4").reshape(shape).astype(np.float32)
     if encoding == "bf16":
@@ -181,7 +204,7 @@ def decode_cube_response(
         q = np.frombuffer(blob, dtype="<u2").reshape(shape)
         return (q.astype(np.float64) * float(scale_hdr)
                 + float(offset_hdr)).astype(np.float32)
-    raise ValueError(f"unknown X-Cube-Encoding {encoding!r}")
+    raise AssertionError(encoding)  # unreachable: validated above
 
 
 def _round_up_pow2(x: int, cap: int) -> int:
@@ -340,7 +363,10 @@ class EnhanceService:
             )
         else:
             self._infer = Inferencer(self.model, pad_multiple=1)
-        self._device_lock = threading.Lock()
+        # Re-entrant: _fetch_reduced dispatches device ops and takes the
+        # lock itself so it is serialized on BOTH request paths (direct and
+        # micro-batched); the direct path already holds it.
+        self._device_lock = threading.RLock()
         self._stats_lock = threading.Lock()
         self._buckets: set = set()
         self.requests = 0
@@ -401,7 +427,7 @@ class EnhanceService:
         m = self.pad_multiple
         return _round_up(h, m), _round_up(w, m)
 
-    def _fetch_reduced(self, S, wire: str) -> np.ndarray:
+    def _fetch_reduced(self, S, wire: str, h: int, w: int) -> np.ndarray:
         """Device→host fetch of S at reduced precision → float32 host array.
 
         The cast (bf16) or affine quantization (u16) runs ON DEVICE, so the
@@ -409,16 +435,29 @@ class EnhanceService:
         (this container's ~45 MB/s relay, DCN, WAN-attached hosts) the
         transfer is the serving bottleneck and this halves it. The client's
         wire encoding then re-encodes losslessly from the already-reduced
-        values (u16 re-quantization moves ≤1 LSB)."""
+        values (u16 re-quantization moves ≤1 LSB).
+
+        The bucket padding is cropped to (h, w) ON DEVICE first, so (a) the
+        u16 min/max covers only real pixels — network output over the
+        edge-replicated pad region must not widen the quantization range —
+        and (b) the d2h bytes cover only real pixels too. These are eager
+        device dispatches, so the method serializes itself on the device
+        lock (re-entrant: the direct request path already holds it)."""
         import jax.numpy as jnp
 
-        if wire == "bf16":
-            return np.asarray(jnp.asarray(S, jnp.bfloat16)).astype(np.float32)
-        # u16: device-side min/max + quantize; one 2-scalar meta fetch.
-        lo = jnp.min(S)
-        scale = jnp.maximum((jnp.max(S) - lo) / 65535.0, jnp.float32(1e-30))
-        q = jnp.round((S - lo) / scale).astype(jnp.uint16)
-        meta = np.asarray(jnp.stack([lo, scale]))
+        with self._device_lock:
+            if S.shape[0] != h or S.shape[1] != w:
+                S = S[:h, :w, :]
+            if wire == "bf16":
+                return np.asarray(
+                    jnp.asarray(S, jnp.bfloat16)
+                ).astype(np.float32)
+            # u16: device-side min/max + quantize; one 2-scalar meta fetch.
+            lo = jnp.min(S)
+            scale = jnp.maximum((jnp.max(S) - lo) / 65535.0,
+                                jnp.float32(1e-30))
+            q = jnp.round((S - lo) / scale).astype(jnp.uint16)
+            meta = np.asarray(jnp.stack([lo, scale]))
         return np.asarray(q).astype(np.float32) * float(meta[1]) + float(meta[0])
 
     def enhance(self, cube: np.ndarray, artifacts: bool = False,
@@ -451,12 +490,13 @@ class EnhanceService:
             with self._device_lock:
                 R, I, Id, S = self._infer(self.params, x)
                 jax.block_until_ready(S)
-        if wire in ("bf16", "u16"):
-            S = self._fetch_reduced(S, wire)
-        else:
-            S = np.asarray(S)
+        # Timed region = device compute only (the round-3 X-Inference-Seconds
+        # contract); the d2h fetch below is transport, reported by clients.
         secs = time.time() - start
-        S = S[:h, :w, :]
+        if wire in ("bf16", "u16"):
+            S = self._fetch_reduced(S, wire, h, w)
+        else:
+            S = np.asarray(S)[:h, :w, :]
         if cfg.global_min is not None and cfg.global_max is not None:
             S = S * (cfg.global_max - cfg.global_min) + cfg.global_min
         out: Dict[str, Any] = {"S": S, "seconds": secs}

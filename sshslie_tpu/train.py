@@ -765,6 +765,12 @@ class Trainer:
                 "fused_pipeline to 'auto' or 'off'"
             )
         fused_window = cfg.fused_window
+        fused_eligible = (cfg.grad_accum_steps <= 1
+                          and cfg.fused_pipeline in ("auto", "on"))
+        if fused_window == "auto" and not fused_eligible:
+            # Don't resolve (a device memory_stats round-trip) or print a
+            # resolution the host-sampler path will never act on.
+            fused_window = 0
         if fused_window == "auto":
             dev = (self.mesh.devices.flat[0] if self.mesh is not None
                    else None)
@@ -783,8 +789,7 @@ class Trainer:
                       f"{len(train_store)} cube(s) from device memory stats "
                       "(pin an integer fused_window for bit-exact resume "
                       "across memory-state changes)")
-        if (cfg.grad_accum_steps <= 1 and fused_window >= 0
-                and cfg.fused_pipeline in ("auto", "on")):
+        if fused_eligible and fused_window >= 0:
             uniform = len({tuple(s) for s in shapes}) == 1
             if fused_window > 0 and uniform and fused_window < len(
                 train_store

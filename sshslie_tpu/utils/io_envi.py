@@ -164,10 +164,14 @@ def save_envi(
     """Write an (H, W, C) cube as an ENVI pair; returns (hdr, data) paths.
 
     Atomic like :func:`save_hsi` (tmp + rename per file). Both tmp files are
-    fully written before either rename, so a crash never leaves a partial
-    pair — but the two renames are not one transaction: *overwriting an
-    existing pair in place is not safe against a concurrent reader*, which
-    can observe new data against the old header (or vice versa). Writers
+    fully written before either rename, and the data file is renamed BEFORE
+    the header — so to readers that discover pairs via the ``.hdr`` (the
+    ``data_pattern: "*.hdr"`` convention) a *fresh* pair appears complete or
+    not at all. The two renames are still not one transaction: a crash
+    between them leaves an orphaned data file without its header (invisible
+    to .hdr-globbing readers, but stray bytes), and *overwriting an existing
+    pair in place is not safe against a concurrent reader*, which can
+    observe new data against the old header (or vice versa). Writers
     replacing live pairs should write to a fresh basename and swap a
     directory/symlink instead."""
     cube = np.asarray(cube)

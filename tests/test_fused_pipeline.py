@@ -414,3 +414,42 @@ def test_trainer_auto_window_resolves_and_trains(tmp_path, rng, monkeypatch):
         assert len(trainer.all_epoch_losses["total_loss"]) == 2
     finally:
         os.chdir(cwd)
+
+
+def test_auto_window_not_resolved_when_pipeline_off(tmp_path, rng,
+                                                    monkeypatch):
+    """fused_window='auto' with fused_pipeline='off' must NOT query device
+    memory or print a resolution the host sampler will never act on
+    (review r4)."""
+    import sshslie_tpu.train as train_mod
+
+    def _boom(*a, **k):
+        raise AssertionError("auto_fused_window resolved on an ineligible "
+                             "pipeline")
+
+    monkeypatch.setattr(train_mod, "auto_fused_window", _boom)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        d = tmp_path / "data"
+        d.mkdir()
+        for i in range(3):
+            sio.savemat(d / f"c{i}.mat",
+                        {"data": (rng.rand(32, 32, 5) * 3000 + 200
+                                  ).astype(np.float32)})
+        cfg = Config(channels=5, global_min=200.0, global_max=4095.0,
+                     batch_size=2, patch_size=16, epoch=1, phase="train",
+                     train_data=str(d), model_name="autoff",
+                     attention_impl="xla", fused_window="auto",
+                     fused_pipeline="off", use_mlflow=False,
+                     jit_cache_dir="")
+        cfg.finalize()
+        from sshslie_tpu.data.datasets import CubeStore
+
+        store = CubeStore(str(d), normalization="global_normalization",
+                          global_min=200.0, global_max=4095.0)
+        trainer = Trainer(cfg, channels=5)
+        trainer.fit(store, ckpt_dir=str(tmp_path / "ck"))
+        assert len(trainer.all_epoch_losses["total_loss"]) == 1
+    finally:
+        os.chdir(cwd)

@@ -165,6 +165,26 @@ def test_make_gallery_cli(tmp_path):
     assert any(n.startswith("spectra_t0") for n in names)
 
 
+def test_make_gallery_pairs_longest_prefix_wins(tmp_path):
+    """Suffixed enhanced names pair with the LONGEST matching low input:
+    `test10_S` must pair with `test10`, not `test1` (review r4 — the
+    ambiguous case was silently dropped before)."""
+    import scipy.io as sio
+
+    import scripts.make_gallery as mg
+
+    low, enh = tmp_path / "low", tmp_path / "enh"
+    os.makedirs(low), os.makedirs(enh)
+    cube = {"data": np.zeros((4, 4, 2), np.float32)}
+    for name in ("test1", "test10"):
+        sio.savemat(str(low / f"{name}.mat"), cube)
+    sio.savemat(str(enh / "test10_S.mat"), cube)
+    sio.savemat(str(enh / "test1_S.mat"), cube)
+    pairs = {key: os.path.basename(lo)
+             for key, lo, _ in mg._pairs(str(low), str(enh))}
+    assert pairs == {"test10": "test10.mat", "test1": "test1.mat"}
+
+
 def test_fused_window_bench_cli(tmp_path):
     """scripts/fused_window_bench.py end-to-end on CPU at toy scale: both
     pipelines train, the report carries the swap decomposition fields."""

@@ -655,3 +655,56 @@ def test_serve_client_script(server, service, tmp_path):
     # server error surfaces as RuntimeError with the message
     with pytest.raises(RuntimeError, match="requires encoding=mat"):
         enhance_over_http(url, cube, encoding="u16", artifacts=True)
+
+
+def test_deflate_bomb_rejected(server):
+    """A small deflate body that inflates far past the declared cube's byte
+    count is rejected (400) before the decompressed allocation happens —
+    /enhance is unauthenticated, so an unbounded zlib.decompress is an OOM
+    vector (review r4)."""
+    import zlib
+
+    from sshslie_tpu.serve import decode_cube_response
+
+    bomb = zlib.compress(b"\x00" * (64 << 20), 1)  # 64 MiB zeros → ~65 KiB
+    headers = {"X-Cube-Encoding": "f32",
+               "X-Cube-Shape": f"4x4x{CHANNELS}",
+               "Content-Encoding": "deflate"}
+    with pytest.raises(ValueError, match="bound"):
+        decode_cube_response(bomb, headers)
+    resp, body = _post_raw(server, bomb, headers)
+    assert resp.status == 400 and b"bound" in body
+
+    # A truncated (incomplete) deflate stream is rejected, not short-read.
+    from sshslie_tpu.serve import encode_cube
+
+    cube = np.ones((4, 4, CHANNELS), np.float32)
+    blob, h = encode_cube(cube, "f32", compress="zlib")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_cube_response(blob[:-6], h)
+
+    # An in-bound deflated payload still round-trips exactly.
+    np.testing.assert_array_equal(decode_cube_response(blob, h), cube)
+
+
+def test_reduced_fetch_crops_before_quantizing(service):
+    """The u16/bf16 device fetch crops the bucket padding FIRST (review r4):
+    the quantization range must cover only real pixels — network output over
+    the edge-replicated pad region must not widen the scale — and the
+    returned array is already (h, w, C)."""
+    import jax.numpy as jnp
+
+    h = w = 20
+    bh = bw = 32  # pad_multiple 16 bucket for 20
+    real = np.linspace(0.0, 1.0, h * w * CHANNELS, dtype=np.float32).reshape(
+        h, w, CHANNELS)
+    padded = np.full((bh, bw, CHANNELS), 1e6, np.float32)
+    padded[:h, :w, :] = real
+    got = service._fetch_reduced(jnp.asarray(padded), "u16", h, w)
+    assert got.shape == (h, w, CHANNELS)
+    # Range-of-real-pixels is 1.0 → error ≤ ~1 LSB of 1/65535. With the
+    # pre-fix padded range (1e6) the step would be ~15, off by ~6 orders.
+    assert float(np.abs(got - real).max()) <= 2.0 / 65535.0
+    got_bf16 = service._fetch_reduced(jnp.asarray(padded), "bf16", h, w)
+    assert got_bf16.shape == (h, w, CHANNELS)
+    np.testing.assert_allclose(got_bf16, real, atol=0.01)
