@@ -1,9 +1,9 @@
 #!/usr/bin/env python
-"""Quantization impact report: PSNR of int8/fp8 weight-only inference vs fp32.
+"""Quantization impact report: PSNR of int8/fp8/int4 weight-only inference vs fp32.
 
 Usage:
   python scripts/quant_report.py --checkpoint checkpoint/m/Decomposition_TS/model_epoch_latest.ckpt \
-      --data ./data/test/low --channels 64 --global_max 4095 [--fmt int8,fp8] [--device cpu]
+      --data ./data/test/low --channels 64 --global_max 4095 [--fmt int8,fp8,int4] [--device cpu]
 
 Prints one JSON document: per-format compression ratio and per-cube PSNR of
 the quantized output against the fp32 output (data_range 1.0, normalized
@@ -29,7 +29,7 @@ def main(argv=None):
     ap.add_argument("--normalization", default="global_normalization")
     ap.add_argument("--global_min", type=float, default=0.0)
     ap.add_argument("--global_max", type=float, default=4095.0)
-    ap.add_argument("--fmt", default="int8,fp8")
+    ap.add_argument("--fmt", default="int8,fp8,int4")
     ap.add_argument("--use_transformer", default="true",
                     help="must match the checkpoint's architecture")
     ap.add_argument("--use_attention", default="false",

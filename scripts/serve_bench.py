@@ -157,7 +157,7 @@ def main(argv=None):
     ap.add_argument("--threads", default="1,4,16",
                     help="comma list of concurrent client counts")
     ap.add_argument("--max_batch", type=int, default=8)
-    ap.add_argument("--quantize", default="", choices=("", "int8", "fp8"))
+    ap.add_argument("--quantize", default="", choices=("", "int8", "fp8", "int4"))
     ap.add_argument("--encodings", default="",
                     help="comma list from f32,bf16,u16: adds sequential "
                          "1-client cases with the reduced-precision d2h "

@@ -140,8 +140,30 @@ def prune_checkpoints(ckpt_dir: str, keep: int) -> None:
         os.remove(os.path.join(ckpt_dir, name))
 
 
+def copy_checkpoint(src: str, dst: str) -> str:
+    """Atomic byte-copy of an existing checkpoint (temp + fsync + rename),
+    used for the rolling best-PSNR checkpoint — same crash guarantees as
+    :func:`save_checkpoint` without a second device fetch/serialize."""
+    with open(src, "rb") as fh:
+        blob = fh.read()
+    tmp = dst + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(blob)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, dst)
+    return dst
+
+
 def latest_path(ckpt_dir: str) -> str:
     return os.path.join(ckpt_dir, "model_epoch_latest" + CKPT_SUFFIX)
+
+
+def best_path(ckpt_dir: str) -> str:
+    """Rolling best-eval-PSNR checkpoint (``checkpoint_best: true``); a
+    plain copy of the winning ``model_epoch_{N}`` file, never pruned (the
+    prune regex matches numeric epochs only)."""
+    return os.path.join(ckpt_dir, "model_epoch_best" + CKPT_SUFFIX)
 
 
 def epoch_path(ckpt_dir: str, epoch: int) -> str:

@@ -113,6 +113,7 @@ class Config:
     grad_accum_steps: int = 1             # >1: scan K sequential microbatches per step (exact full-batch update, ~K× less activation memory; host pipeline only)
     log_every_step: int = 0               # 0 = per-epoch logging only (avoid device→host syncs)
     checkpoint_keep: int = 0              # 0 = keep all periodic checkpoints
+    checkpoint_best: bool = False         # track best eval PSNR in a rolling model_epoch_best.ckpt (per fit run)
     use_mlflow: bool = True               # no-op shim if mlflow isn't installed
     jit_cache_dir: str = "~/.cache/sshslie_tpu/xla"  # persistent XLA compilation cache ('' = disabled); literal kept in sync with utils/jit_cache.DEFAULT_DIR (importing it here would pull jax into config import)
     profile_dir: str = ""                 # write a jax.profiler trace here when set
@@ -126,7 +127,7 @@ class Config:
     serve_pad_multiple: int = 64          # phase=serve: shape-bucket granularity
     serve_warmup: str = ""                # phase=serve: pre-compile shapes, e.g. '512x512,1024x1024'
     serve_max_batch: int = 1              # phase=serve: coalesce concurrent same-shape requests (1 = off)
-    serve_quantize: str = ""              # phase=serve: ''|'int8'|'fp8' weight-only quantized serving
+    serve_quantize: str = ""              # phase=serve: ''|'int8'|'fp8'|'int4' weight-only quantized serving
     serve_reload_token: str = ""          # phase=serve: required (X-Reload-Token) to reload arbitrary paths
     serve_batch_window_ms: float = 5.0    # phase=serve: batching window after first pending request
 
@@ -197,7 +198,7 @@ _ENUM_FIELDS: dict[str, tuple] = {
     "conv_impl": ("auto", "xla", "pallas", "pallas_dgrad"),
     "sampler": ("auto", "native", "python"),
     "fused_pipeline": ("auto", "on", "off"),
-    "serve_quantize": ("", "int8", "fp8"),
+    "serve_quantize": ("", "int8", "fp8", "int4"),
     "eval_shard_mode": ("spatial", "band"),
     "device": ("", "cpu", "tpu", "gpu"),
 }

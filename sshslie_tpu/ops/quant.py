@@ -1,17 +1,23 @@
-"""Weight-only quantization for inference (int8 / fp8).
+"""Weight-only quantization for inference (int8 / fp8 / int4).
 
 Net-new capability (no counterpart in the reference, which serves fp32 only).
 Conv/dense kernels are quantized per-output-channel with symmetric scales and
 dequantized *inside* the jitted forward, so the parameters live in HBM at 1/4
-(int8) or 1/4 (fp8) the bytes and XLA fuses the convert+scale into the conv's
-operand read. For this model the win is a capability/latency demo (params are
-<1 MB); the same code path is how a large conv stack would cut its HBM
-footprint and weight-load bandwidth on TPU.
+(int8/fp8) or 1/8 (int4 — XLA stores ``s4`` packed two-per-byte) the bytes and
+XLA fuses the convert+scale into the conv's operand read. For this model the
+win is a capability/latency demo (params are <1 MB); the same code path is how
+a large conv stack would cut its HBM footprint and weight-load bandwidth on
+TPU.
 
 Formats
   * ``int8``: q = round(w / s) ∈ [−127, 127], s = amax/127 per out-channel.
   * ``fp8``:  w/s cast to ``float8_e4m3fn`` (TPU-native 8-bit float),
     s = amax/448 per out-channel (448 = e4m3 max normal).
+  * ``int4``: q = round(w / s) ∈ [−7, 7], s = amax/7 per out-channel,
+    stored as ``jnp.int4`` (4-bit, device-packed). 8× weight compression;
+    measured quality in tests / ``scripts/quant_report.py`` — lossier than
+    int8 by construction (15 levels per channel), offered for the HBM-bound
+    regime where weight bytes, not accuracy headroom, are the constraint.
 
 Only the last axis is treated as the output-feature axis — true for Flax
 Conv (kh, kw, cin, cout), ConvTranspose, and Dense (in, out) kernels.
@@ -30,6 +36,7 @@ _Q_KEY = "__quantized__"
 _FORMATS = {
     "int8": {"max": 127.0},
     "fp8": {"max": 448.0},
+    "int4": {"max": 7.0},
 }
 
 
@@ -57,6 +64,8 @@ def quantize_array(w: jnp.ndarray, fmt: str = "int8") -> Dict[str, jnp.ndarray]:
     scale = jnp.where(scale > 0, scale, 1.0)
     if fmt == "int8":
         q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    elif fmt == "int4":
+        q = jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int4)
     else:
         q = (w / scale).astype(jnp.float8_e4m3fn)
     return {_Q_KEY: np.int8(1), "q": q, "scale": scale.astype(jnp.float32)}
@@ -91,7 +100,9 @@ def quantize_tree(
         stats["bytes_fp32"] += nbytes
         if leaf.ndim >= 2 and leaf.size >= min_size:
             qn = quantize_array(leaf, fmt)
-            stats["bytes_quant"] += leaf.size * 1 + int(qn["scale"].size) * 4
+            # Device bytes: int4 packs two values per byte (XLA s4 storage).
+            qbytes = (leaf.size + 1) // 2 if fmt == "int4" else leaf.size
+            stats["bytes_quant"] += qbytes + int(qn["scale"].size) * 4
             stats["tensors_quantized"] += 1
             return qn
         stats["bytes_quant"] += nbytes

@@ -890,14 +890,50 @@ class Trainer:
                 max_workers=1, thread_name_prefix="async-eval"
             )
 
+        # Best-eval-PSNR tracking (checkpoint_best): state is per fit run —
+        # a resume starts fresh, so an existing model_epoch_best from the
+        # interrupted run can be replaced by a lower-PSNR "best"; the epoch
+        # checkpoints remain the durable record.
+        best = {"psnr": float("-inf"), "ep": None, "written_ep": None}
+
         def _record_eval(ep: int, scores) -> None:
             if scores is not None:
                 self.eval_metrics[ep] = scores
+                if (cfg.checkpoint_best and "psnr" in scores
+                        and scores["psnr"] > best["psnr"]):
+                    best["psnr"] = scores["psnr"]
+                    best["ep"] = ep
                 if self.observer and eval_result_dir:
                     self.observer.plot_eval_metrics(
                         self.eval_metrics,
                         os.path.join(eval_result_dir, "eval_metrics.png"),
                     )
+
+        def _sync_best() -> None:
+            """Copy the winning epoch checkpoint to model_epoch_best.
+
+            Deferred from _record_eval because in the synchronous path the
+            eval for epoch N runs BEFORE model_epoch_N.ckpt is written (and
+            async evals complete whole epochs later) — so the copy happens
+            at the next checkpoint-save / drain point, when the source file
+            exists. Process 0 only (single-writer, like every other
+            checkpoint write)."""
+            if (not cfg.checkpoint_best or jax.process_index() != 0
+                    or best["ep"] is None or best["ep"] == best["written_ep"]):
+                return
+            src = checkpoints.epoch_path(ckpt_dir, best["ep"])
+            if not os.path.exists(src):
+                # A lagging async eval can outlive its epoch file under an
+                # aggressive checkpoint_keep; the next improvement re-arms.
+                print(f"checkpoint_best: epoch {best['ep']} checkpoint was "
+                      f"already pruned; best left at epoch "
+                      f"{best['written_ep']}")
+                best["written_ep"] = best["ep"]
+                return
+            checkpoints.copy_checkpoint(src, checkpoints.best_path(ckpt_dir))
+            best["written_ep"] = best["ep"]
+            print(f"Best checkpoint updated: epoch {best['ep']} "
+                  f"(PSNR {best['psnr']:.4f})")
 
         def _drain_evals(block: bool) -> None:
             remaining = []
@@ -1135,6 +1171,9 @@ class Trainer:
                         )
                         if cfg.checkpoint_keep > 0:
                             checkpoints.prune_checkpoints(ckpt_dir, cfg.checkpoint_keep)
+                    # After the epoch file lands: sync evals recorded their
+                    # scores above, so the best copy can happen now.
+                    _sync_best()
 
                 if profiling:
                     jax.profiler.stop_trace()
@@ -1147,6 +1186,7 @@ class Trainer:
                 print(f"Epoch [{epoch+1}/{cfg.epoch}] Average Loss: {avg['total_loss']:.6f}")
                 if eval_pool is not None:
                     _drain_evals(block=False)
+                    _sync_best()
 
                 if self._stop_requested:
                     if jax.process_index() == 0:
@@ -1182,6 +1222,7 @@ class Trainer:
             if eval_pool is not None:
                 try:
                     _drain_evals(block=True)
+                    _sync_best()
                 finally:
                     eval_pool.shutdown(wait=True)
 

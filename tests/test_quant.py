@@ -39,6 +39,26 @@ def test_quantize_array_fp8(rng):
     assert np.abs(back - w).max() <= np.abs(w).max() * 0.07
 
 
+def test_quantize_array_int4_roundtrip_bound(rng):
+    w = rng.randn(3, 3, 8, 16).astype(np.float32)
+    node = quantize_array(jnp.asarray(w), "int4")
+    assert node["q"].dtype == jnp.int4
+    back = np.asarray(dequantize_array(node))
+    # per-out-channel symmetric int4: |err| ≤ scale/2 = amax/14
+    amax = np.abs(w).max(axis=(0, 1, 2))
+    assert np.all(np.abs(back - w) <= amax / 14 + 1e-7)
+    assert node["scale"].shape == (1, 1, 1, 16)
+
+
+def test_quantize_tree_int4_byte_accounting():
+    params = {"conv": {"kernel": jnp.ones((3, 3, 4, 8))}}
+    _, stats = quantize_tree(params, "int4", min_size=64)
+    n = 3 * 3 * 4 * 8
+    # packed s4: two values per byte, plus the fp32 per-out-channel scales
+    assert stats["bytes_quant"] == (n + 1) // 2 + 8 * 4
+    assert stats["bytes_fp32"] == n * 4
+
+
 def test_quantize_zero_channel(rng):
     w = np.zeros((3, 3, 2, 4), np.float32)
     node = quantize_array(jnp.asarray(w), "int8")
@@ -65,7 +85,7 @@ def test_quantize_tree_structure_and_stats():
 
 def test_quantize_tree_unknown_format():
     with pytest.raises(ValueError):
-        quantize_tree({"k": jnp.ones((8, 8))}, "int4")
+        quantize_tree({"k": jnp.ones((8, 8))}, "int2")
 
 
 @pytest.fixture(scope="module")
@@ -84,6 +104,17 @@ def test_quantized_inference_close_to_fp32(small_model, rng):
     assert report["compression"] > 3.0
     # int8 weight-only on a sigmoid-bounded model: near-lossless output
     assert report["psnr_vs_fp32_avg"] > 35.0, report
+
+
+def test_quantized_inference_int4(small_model, rng):
+    model, params = small_model
+    cubes = [(rng.rand(24, 24, 6) * 0.8).astype(np.float32) for _ in range(2)]
+    report = quantization_impact(model, params, cubes, "int4")
+    assert report["tensors_quantized"] > 10
+    # packed s4 → close to 8× on the kernel bytes (scales + fp32 biases eat in)
+    assert report["compression"] > 5.0
+    # 15 quantization levels per channel: measurably lossy but usable
+    assert report["psnr_vs_fp32_avg"] > 25.0, report
 
 
 def test_quantized_inferencer_pads(small_model, rng):

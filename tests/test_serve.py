@@ -345,6 +345,25 @@ def test_quantized_serving_close_to_fp32(tmp_path):
     np.testing.assert_allclose(S_q, S_q2, atol=1e-4)
 
 
+def test_int4_quantized_serving(tmp_path):
+    """serve_quantize='int4': lossier than int8 by design, but the service
+    must stay structurally sound and within int4 error on the output scale."""
+    rng = np.random.RandomState(22)
+    base_cfg = dict(channels=CHANNELS, patch_size=16, global_min=0.0,
+                    global_max=4095.0, attention_impl="xla",
+                    serve_pad_multiple=16)
+    fp32 = EnhanceService(Config(**base_cfg).finalize(), CHANNELS)
+    q = EnhanceService(Config(**base_cfg, serve_quantize="int4").finalize(),
+                       CHANNELS, params=fp32._params_template)
+    cube = (rng.rand(20, 20, CHANNELS) * 4000).astype(np.float32)
+    S_f = fp32.enhance(cube)["S"]
+    S_q = q.enhance(cube)["S"]
+    assert S_q.shape == cube.shape
+    # int4 keeps 15 levels/channel: allow ~10× the int8 budget on 0..4095,
+    # but it must still track the fp32 output (not collapse to garbage)
+    assert np.abs(S_f - S_q).max() < 300.0, np.abs(S_f - S_q).max()
+
+
 def test_quantized_serving_rejects_mesh():
     from sshslie_tpu.parallel.mesh import make_mesh
 

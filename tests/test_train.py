@@ -208,6 +208,73 @@ def test_trainer_fit_async_eval(tmp_path, rng):
         os.chdir(cwd)
 
 
+@pytest.mark.parametrize("use_async", [False, True])
+def test_checkpoint_best_tracks_eval_psnr(tmp_path, rng, use_async):
+    """checkpoint_best: model_epoch_best.ckpt is a byte-copy of the epoch
+    checkpoint with the highest eval PSNR — on both the synchronous eval
+    path (eval runs before the epoch file is written → deferred copy) and
+    the async path (scores arrive whole epochs later, drained in finally)."""
+    import scipy.io as sio
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        os.makedirs("cubes", exist_ok=True)
+        for i in range(2):
+            sio.savemat(f"cubes/c{i}.mat",
+                        {"data": (rng.rand(24, 24, 6) * 4000).astype(np.float32)})
+        from sshslie_tpu.data.datasets import CubeStore
+
+        store = CubeStore("cubes", normalization="global_normalization",
+                          global_min=0.0, global_max=4095.0)
+        cfg = _tiny_cfg(epoch=3, eval_every_epoch=1, checkpoint_best=True,
+                        async_eval=use_async, global_min=0.0,
+                        global_max=4095.0)
+        trainer = Trainer(cfg, channels=6)
+        psnr_by_epoch = {1: 3.0, 2: 5.0, 3: 2.0}
+
+        def fake_evaluator(view, eval_store, out_dir, epoch, label_dir):
+            return {"psnr": psnr_by_epoch[epoch], "ssim": 0.5, "sam": 0.1}
+
+        trainer.fit(store, eval_store=store, evaluator=fake_evaluator,
+                    ckpt_dir="ck", eval_result_dir="ev")
+        best = checkpoints.best_path("ck")
+        assert os.path.exists(best)
+        with open(best, "rb") as fh, \
+                open(checkpoints.epoch_path("ck", 2), "rb") as fh2:
+            assert fh.read() == fh2.read()
+        # no stray temp files from the atomic copy
+        assert not os.path.exists(best + ".tmp")
+    finally:
+        os.chdir(cwd)
+
+
+def test_checkpoint_best_off_by_default(tmp_path, rng):
+    """Without checkpoint_best, no best file appears (the reference's layout
+    has exactly model_epoch_N + model_epoch_latest; reference model.py:330-331)."""
+    import scipy.io as sio
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        os.makedirs("cubes", exist_ok=True)
+        sio.savemat("cubes/c0.mat",
+                    {"data": (rng.rand(24, 24, 6) * 4000).astype(np.float32)})
+        from sshslie_tpu.data.datasets import CubeStore
+
+        store = CubeStore("cubes", normalization="global_normalization",
+                          global_min=0.0, global_max=4095.0)
+        cfg = _tiny_cfg(epoch=1, eval_every_epoch=1, global_min=0.0,
+                        global_max=4095.0)
+        trainer = Trainer(cfg, channels=6)
+        trainer.fit(store, eval_store=store,
+                    evaluator=lambda *a: {"psnr": 1.0, "ssim": 0.5, "sam": 0.1},
+                    ckpt_dir="ck", eval_result_dir="ev")
+        assert not os.path.exists(checkpoints.best_path("ck"))
+    finally:
+        os.chdir(cwd)
+
+
 def test_trainer_fit_integration(tmp_path, rng):
     """Two-epoch Trainer.fit on synthetic cubes: losses recorded, checkpoints
     written, decom-freeze path exercised."""
