@@ -1161,14 +1161,18 @@ class Trainer:
                         # replicated state, but concurrent writes to a shared
                         # checkpoint dir would tear the .tmp files and race
                         # prune's os.remove.
-                        checkpoints.save_checkpoint(
+                        saved = checkpoints.save_checkpoint(
                             checkpoints.epoch_path(ckpt_dir, epoch + 1),
                             self.state.params, self.state.opt_state, epoch + 1,
                         )
-                        checkpoints.save_checkpoint(
-                            checkpoints.latest_path(ckpt_dir),
-                            self.state.params, self.state.opt_state, epoch + 1,
+                        # latest = byte-copy of the epoch file: skips the
+                        # second device fetch + msgpack serialize (the fetch
+                        # crosses the d2h link; the copy is pure host I/O
+                        # with the same atomic-rename crash guarantees).
+                        latest = checkpoints.copy_checkpoint(
+                            saved, checkpoints.latest_path(ckpt_dir)
                         )
+                        print(f"Checkpoint saved at {latest}")
                         if cfg.checkpoint_keep > 0:
                             checkpoints.prune_checkpoints(ckpt_dir, cfg.checkpoint_keep)
                     # After the epoch file lands: sync evals recorded their

@@ -302,6 +302,38 @@ def test_trainer_fit_integration(tmp_path, rng):
         os.chdir(cwd)
 
 
+def test_latest_checkpoint_is_byte_copy_of_epoch(tmp_path, rng):
+    """model_epoch_latest is an atomic byte-copy of the newest periodic
+    checkpoint (one device fetch + serialize per cadence point, not two),
+    and still restores identically."""
+    import scipy.io as sio
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        os.makedirs("cubes", exist_ok=True)
+        sio.savemat("cubes/c0.mat",
+                    {"data": (rng.rand(24, 24, 6) * 4000).astype(np.float32)})
+        from sshslie_tpu.data.datasets import CubeStore
+
+        store = CubeStore("cubes", normalization="global_normalization",
+                          global_min=0.0, global_max=4095.0)
+        cfg = _tiny_cfg(epoch=2, eval_every_epoch=1, global_min=0.0,
+                        global_max=4095.0)
+        trainer = Trainer(cfg, channels=6)
+        trainer.fit(store, ckpt_dir="ck")
+        with open("ck/model_epoch_latest.ckpt", "rb") as fh, \
+                open("ck/model_epoch_2.ckpt", "rb") as fh2:
+            assert fh.read() == fh2.read()
+        assert not os.path.exists("ck/model_epoch_latest.ckpt.tmp")
+        p, o, ep = checkpoints.load_checkpoint(
+            "ck/model_epoch_latest.ckpt", trainer.state.params,
+            trainer.state.opt_state)
+        assert ep == 2
+    finally:
+        os.chdir(cwd)
+
+
 def test_resume_replays_exact_trajectory(tmp_path, rng):
     """4-epoch run == 2-epoch run + resume-to-4: the fused pipeline folds the
     RNG on absolute step ids, so the resumed run is bit-identical."""
