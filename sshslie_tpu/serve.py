@@ -19,6 +19,9 @@ HTTP surface (stdlib only):
 
   * ``GET /health`` → backend, params checksum, compiled buckets.
   * ``GET /stats``  → request count, latency aggregates.
+  * ``GET /metrics`` → Prometheus text exposition (requests/errors/reloads
+    counters, inference-latency histogram, compiled-bucket and micro-batch
+    gauges) for scrape-based production monitoring.
   * ``POST /enhance`` — body is a ``.mat`` file; query string: ``key`` (input
     variable, default config ``mat_key``), ``artifacts=1`` to include
     R/I_low/I_delta. Response is a ``.mat`` file with the enhanced cube under
@@ -45,6 +48,7 @@ or ``python main.py --config ... --phase serve``.
 
 from __future__ import annotations
 
+import bisect
 import hmac
 import io
 import json
@@ -307,6 +311,13 @@ class _MicroBatcher:
         return True
 
 
+# Prometheus histogram bounds for the device-inference seconds (the
+# X-Inference-Seconds contract region — transport excluded). Spans the
+# measured range: ~5 ms warm 64² on-chip up to cold-bucket compiles.
+_LATENCY_BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5,
+                    5.0, 10.0, 60.0)
+
+
 class EnhanceService:
     """Checkpoint-backed enhancement with a shape-bucketed jit cache."""
 
@@ -372,6 +383,10 @@ class EnhanceService:
         self.requests = 0
         self.total_secs = 0.0
         self.max_secs = 0.0
+        self.error_count = 0
+        # Non-cumulative per-bucket counts; the +1 slot is the +Inf overflow.
+        # Rendered cumulative by metrics_text (Prometheus histogram contract).
+        self._hist = [0] * (len(_LATENCY_BUCKETS) + 1)
         self.batcher: Optional[_MicroBatcher] = None
         if cfg.serve_max_batch > 1 and mesh is None:
             import jax as _jax
@@ -509,6 +524,8 @@ class EnhanceService:
             self.total_secs += secs
             self.max_secs = max(self.max_secs, secs)
             self._buckets.add((bh, bw))
+            i = bisect.bisect_left(_LATENCY_BUCKETS, secs)
+            self._hist[i] += 1
         return out
 
     def warmup(self, shapes: Sequence[Tuple[int, int]]) -> None:
@@ -593,6 +610,70 @@ class EnhanceService:
             out["max_batch"] = self.batcher.max_batch
         return out
 
+    def record_error(self) -> None:
+        """Count one HTTP error response (any 4xx/5xx) for /metrics."""
+        with self._stats_lock:
+            self.error_count += 1
+
+    def metrics_text(self) -> str:
+        """Prometheus text exposition (version 0.0.4) of the service state.
+
+        Stdlib-only by design (like the rest of the HTTP layer): the format
+        is lines of ``name{labels} value`` — a client library would be a
+        dependency for string concatenation. Latency is the device-compute
+        region only (the X-Inference-Seconds contract); transport shows up
+        in client-side metrics where it belongs.
+        """
+        with self._stats_lock:
+            n = self.requests
+            total = self.total_secs
+            mx = self.max_secs
+            errors = self.error_count
+            hist = list(self._hist)
+            buckets = len(self._buckets)
+            reloads = self.reload_count
+        lines = [
+            "# HELP sshslie_requests_total Enhancement requests completed.",
+            "# TYPE sshslie_requests_total counter",
+            f"sshslie_requests_total {n}",
+            "# HELP sshslie_request_errors_total HTTP 4xx/5xx responses.",
+            "# TYPE sshslie_request_errors_total counter",
+            f"sshslie_request_errors_total {errors}",
+            "# HELP sshslie_reloads_total Successful checkpoint hot-reloads.",
+            "# TYPE sshslie_reloads_total counter",
+            f"sshslie_reloads_total {reloads}",
+            "# HELP sshslie_compiled_buckets Compiled jit shape buckets.",
+            "# TYPE sshslie_compiled_buckets gauge",
+            f"sshslie_compiled_buckets {buckets}",
+            "# HELP sshslie_inference_seconds Device inference latency "
+            "(compute only; transport excluded).",
+            "# TYPE sshslie_inference_seconds histogram",
+        ]
+        cum = 0
+        for bound, count in zip(_LATENCY_BUCKETS, hist):
+            cum += count
+            lines.append(f'sshslie_inference_seconds_bucket{{le="{bound}"}} {cum}')
+        lines.append(f'sshslie_inference_seconds_bucket{{le="+Inf"}} {cum + hist[-1]}')
+        lines.append(f"sshslie_inference_seconds_sum {total}")
+        lines.append(f"sshslie_inference_seconds_count {n}")
+        lines += [
+            "# HELP sshslie_inference_seconds_max Worst request since start.",
+            "# TYPE sshslie_inference_seconds_max gauge",
+            f"sshslie_inference_seconds_max {mx}",
+        ]
+        if self.batcher is not None:
+            lines += [
+                "# HELP sshslie_batched_runs_total Micro-batched device "
+                "dispatches.",
+                "# TYPE sshslie_batched_runs_total counter",
+                f"sshslie_batched_runs_total {self.batcher.batched_runs}",
+                "# HELP sshslie_max_batch_seen Largest micro-batch "
+                "coalesced so far.",
+                "# TYPE sshslie_max_batch_seen gauge",
+                f"sshslie_max_batch_seen {self.batcher.max_batch_seen}",
+            ]
+        return "\n".join(lines) + "\n"
+
 
 # -- HTTP layer -------------------------------------------------------------
 
@@ -616,6 +697,10 @@ def _make_handler(service: EnhanceService):
             pass
 
         def _json(self, code: int, payload: Dict[str, Any]) -> None:
+            if code >= 400:
+                # Single choke point: every JSON error reply (bad encodings,
+                # decode failures, 404s, reload refusals) lands here.
+                service.record_error()
             blob = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -625,7 +710,16 @@ def _make_handler(service: EnhanceService):
 
         def do_GET(self):  # noqa: N802
             path = urlparse(self.path).path
-            if path == "/health":
+            if path == "/metrics":
+                blob = service.metrics_text().encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+                )
+                self.send_header("Content-Length", str(len(blob)))
+                self.end_headers()
+                self.wfile.write(blob)
+            elif path == "/health":
                 import jax
 
                 self._json(200, {

@@ -161,6 +161,63 @@ def test_stats_accumulate(server):
     assert payload["avg_seconds"] > 0
 
 
+def test_metrics_text_histogram_contract(service):
+    """metrics_text follows the Prometheus exposition rules: cumulative
+    monotone buckets, +Inf == count, sum/count consistent with /stats."""
+    txt = service.metrics_text()
+    lines = [l for l in txt.splitlines() if not l.startswith("#")]
+    vals = {}
+    cum = []
+    for l in lines:
+        name, v = l.rsplit(" ", 1)
+        if name.startswith("sshslie_inference_seconds_bucket"):
+            cum.append(float(v))
+        else:
+            vals[name] = float(v)
+    n = service.stats()["requests"]
+    assert vals["sshslie_requests_total"] == n
+    assert vals["sshslie_inference_seconds_count"] == n
+    assert cum == sorted(cum)           # cumulative histogram is monotone
+    assert cum[-1] == n                 # +Inf bucket counts everything
+    assert vals["sshslie_inference_seconds_sum"] == pytest.approx(
+        service.stats()["avg_seconds"] * n)
+    assert vals["sshslie_compiled_buckets"] == len(service.stats()["buckets"])
+
+
+def test_metrics_endpoint_and_error_counter(server, service):
+    """GET /metrics serves the exposition; 4xx responses bump the error
+    counter through the single _json choke point."""
+    def scrape():
+        conn = http.client.HTTPConnection(server.host, server.port, timeout=30)
+        conn.request("GET", "/metrics")
+        resp = conn.getresponse()
+        body = resp.read().decode()
+        ctype = resp.getheader("Content-Type")
+        conn.close()
+        return resp.status, ctype, body
+
+    status, ctype, body = scrape()
+    assert status == 200
+    assert ctype.startswith("text/plain")
+    before = float(
+        [l for l in body.splitlines()
+         if l.startswith("sshslie_request_errors_total ")][0].split()[-1])
+    # provoke a 400 (unknown encoding) and a 404
+    rng = np.random.RandomState(3)
+    cube = (rng.rand(8, 8, CHANNELS) * 100).astype(np.float32)
+    resp, _ = _post_mat(server, cube, query="?encoding=nope")
+    assert resp.status == 400
+    conn = http.client.HTTPConnection(server.host, server.port, timeout=30)
+    conn.request("GET", "/bogus")
+    assert conn.getresponse().status == 404
+    conn.close()
+    _, _, body = scrape()
+    after = float(
+        [l for l in body.splitlines()
+         if l.startswith("sshslie_request_errors_total ")][0].split()[-1])
+    assert after >= before + 2
+
+
 class TestMicroBatching:
     @pytest.fixture(scope="class")
     def batched_service(self):
@@ -196,6 +253,11 @@ class TestMicroBatching:
         stats = batched_service.stats()
         assert stats["batched_runs"] >= 1
         assert stats["max_batch_seen"] >= 2, stats  # coalescing happened
+
+    def test_metrics_include_batcher_series(self, batched_service):
+        txt = batched_service.metrics_text()
+        assert "sshslie_batched_runs_total" in txt
+        assert "sshslie_max_batch_seen" in txt
 
     def test_batcher_pow2_padding(self):
         from sshslie_tpu.serve import _round_up_pow2
