@@ -116,12 +116,17 @@ def interleaved_wire_case(size, channels, requests_per_enc, encodings):
             "latency_p95_ms": round(
                 float(np.percentile(arr, 95, method="higher")) * 1e3, 1),
         }
-    base = per_enc.get("f32") or per_enc[encodings[0]]
+    # Baseline for the speedup column: f32 when present, else the first
+    # listed encoding — and NAME the baseline in the key so a bf16,u16-only
+    # run can't be misread as vs-f32 numbers.
+    base_enc = "f32" if "f32" in per_enc else encodings[0]
+    base = per_enc[base_enc]
     for enc in encodings:
-        per_enc[enc]["speedup_p50_vs_f32"] = round(
+        per_enc[enc][f"speedup_p50_vs_{base_enc}"] = round(
             base["latency_p50_ms"] / per_enc[enc]["latency_p50_ms"], 2)
     return {"case": "wire_interleaved_t1",
             "requests_per_encoding": requests_per_enc,
+            "baseline_encoding": base_enc,
             "encodings": per_enc}
 
 

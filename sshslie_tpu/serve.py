@@ -33,7 +33,8 @@ HTTP surface (stdlib only):
     was picked. ``f32`` is the raw little-endian cube (no .mat container);
     ``bf16`` truncates to 2 bytes/value (~3 significant decimal digits);
     ``u16`` is affine-quantized to the cube's own range (2 bytes/value,
-    max error = range/131070 ≈ 49 dB below full scale minimum). Binary
+    max error = range/131070, i.e. ≥ 20·log10(131070) ≈ 102 dB below full
+    scale — far beyond 12-bit sensor noise floors). Binary
     responses carry shape/dtype/scale in ``X-Cube-*`` headers;
     :func:`decode_cube_response` is the client-side inverse. Binary
     encodings cover S only — ``artifacts=1`` requires ``encoding=mat``.
@@ -171,7 +172,11 @@ def decode_cube_response(
         import zlib
 
         itemsize = 4 if encoding == "f32" else 2
-        limit = (shape[0] * shape[1] * shape[2] * itemsize
+        # The shape-derived bound is attacker-declared (X-Cube-Shape on an
+        # unauthenticated endpoint) — clamp it to the body cap, or a bomb
+        # declaring 100000x100000x224 raises the "hard bound" to petabytes.
+        limit = (min(shape[0] * shape[1] * shape[2] * itemsize,
+                     _MAX_BODY_BYTES)
                  if shape is not None else _MAX_BODY_BYTES)
         d = zlib.decompressobj()
         try:
@@ -374,10 +379,11 @@ class EnhanceService:
             )
         else:
             self._infer = Inferencer(self.model, pad_multiple=1)
-        # Re-entrant: _fetch_reduced dispatches device ops and takes the
-        # lock itself so it is serialized on BOTH request paths (direct and
-        # micro-batched); the direct path already holds it.
-        self._device_lock = threading.RLock()
+        # Serializes all device dispatch. Never held re-entrantly: enhance()
+        # releases it after the forward, and _fetch_reduced then re-acquires
+        # for its own device ops (same on the micro-batched path, where the
+        # forward runs on the batcher thread).
+        self._device_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self._buckets: set = set()
         self.requests = 0
@@ -457,7 +463,8 @@ class EnhanceService:
         edge-replicated pad region must not widen the quantization range —
         and (b) the d2h bytes cover only real pixels too. These are eager
         device dispatches, so the method serializes itself on the device
-        lock (re-entrant: the direct request path already holds it)."""
+        lock (callers do NOT hold it here — both request paths release it
+        after the forward)."""
         import jax.numpy as jnp
 
         with self._device_lock:

@@ -473,11 +473,19 @@ def auto_fused_window(store: CubeStore, batch_size: int, device=None,
     stats (CPU virtual devices, some relays) resolve to 0: host RAM is the
     real constraint there and the pre-auto default (full stack) stands.
 
+    Disk-backed stores (``lazy_loading: true``) never resolve to 0:
+    ``stack_cubes`` returns None for them, so "resident" would silently
+    drop the fused pipeline to the host sampler — exactly the combination
+    auto exists for. They window even when the full stack would fit, and
+    size from ``2·batch_size`` when the backend has no memory stats.
+
     Note: auto re-resolves per process from *current* memory stats, so a
     resumed run can pick a different K than the original (K changes which
     cube each sample reads). Runs that need bit-exact resume replay should
     pin an explicit integer ``fused_window``.
     """
+    from sshslie_tpu.data.datasets import LazyCubeStore
+
     if device is None:
         device = jax.local_devices()[0]
     shapes = {tuple(s) for s in store.shapes}
@@ -486,18 +494,23 @@ def auto_fused_window(store: CubeStore, batch_size: int, device=None,
     h, w, c = next(iter(shapes))
     cube_bytes = h * w * c * 4  # stacks are float32 (normalized cubes)
     n = len(store)
+    lazy = isinstance(store, LazyCubeStore)
+    k_min = max(2, min(batch_size, n))
+    if lazy and n <= k_min:
+        return -1  # a window must be a strict subset; host sampler instead
     try:
         stats = device.memory_stats()
     except Exception:
         stats = None
     if not stats or "bytes_limit" not in stats:
+        if lazy:
+            return int(min(max(k_min, 2 * batch_size), n - 1))
         return 0
     free = int(stats["bytes_limit"]) - int(stats.get("bytes_in_use", 0))
     budget = int(free * safety)
-    if n * cube_bytes <= budget:
+    if n * cube_bytes <= budget and not lazy:
         return 0  # resident stack fits (single copy, uploaded once)
     k = budget // (2 * cube_bytes)
-    k_min = max(2, min(batch_size, n))
     if k < k_min:
         return -1
     return int(min(k, n - 1))

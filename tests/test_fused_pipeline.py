@@ -363,6 +363,49 @@ def test_auto_fused_window_resolution(tmp_path, rng):
                    shapes=((40, 48, 6), (32, 48, 6)))
     assert auto_fused_window(mixed, 2, device=dev(100 * cube)) == -1
 
+    # Lazy (disk-backed) stores must NEVER resolve to 0: stack_cubes
+    # returns None for them, so 'resident' would silently drop the fused
+    # pipeline to the host sampler while the log claims residency.
+    from sshslie_tpu.data.datasets import LazyCubeStore
+
+    lazy = LazyCubeStore(str(tmp_path / "cubes"), normalization=None)
+    # Full-fit budget → still a window (a strict subset of N=6).
+    k = auto_fused_window(lazy, 2, device=dev(100 * cube))
+    assert 2 <= k <= 5
+    # No memory stats → sized from 2·batch_size instead of 'resident'.
+    k = auto_fused_window(lazy, 2, device=_FakeDevice(None))
+    assert 2 <= k <= 5
+    # Partial fit windows as before.
+    assert auto_fused_window(lazy, 2, device=dev(5 * cube)) == 2
+    # Too small to hold a strict-subset window → host sampler.
+    tiny_dir = tmp_path / "tiny"
+    tiny_dir.mkdir()
+    sio.savemat(tiny_dir / "c0.mat",
+                {"data": rng.rand(40, 48, 6).astype(np.float32)})
+    tiny = LazyCubeStore(str(tiny_dir), normalization=None)
+    assert auto_fused_window(tiny, 2, device=dev(100 * cube)) == -1
+
+
+def test_trainer_auto_window_on_lazy_store_engages_fused(tmp_path, rng,
+                                                         monkeypatch):
+    """Regression: lazy_loading + fused_window='auto' (the combination auto
+    exists for) must engage the windowed fused pipeline, not silently fall
+    back to the host sampler behind a 'fits resident' message."""
+    from sshslie_tpu.data.datasets import LazyCubeStore
+
+    store = _store(tmp_path, rng, shapes=((40, 48, 6),) * 4)
+    lazy = LazyCubeStore(str(tmp_path / "cubes"), normalization=None)
+    cfg = Config(channels=6, patch_size=16, batch_size=2, epoch=2,
+                 eval_every_epoch=100, plot_every_epoch=100, start_lr=1e-3,
+                 use_mlflow=False, attention_impl="xla",
+                 fused_window="auto")
+    cfg.finalize()
+    t = Trainer(cfg, channels=6)
+    t.fit(lazy, ckpt_dir=str(tmp_path / "ck"))
+    # The fused (windowed) step must have been built — no host sampler.
+    assert any(k[0] in ("fused", "multistep") for k in t._steps), t._steps
+    assert len(t.all_epoch_losses["total_loss"]) == 2
+
 
 def test_fused_window_config_accepts_auto():
     from sshslie_tpu.config import load_config, parse_args

@@ -768,6 +768,26 @@ def test_deflate_bomb_rejected(server):
     np.testing.assert_array_equal(decode_cube_response(blob, h), cube)
 
 
+def test_deflate_bound_clamped_against_giant_declared_shape(monkeypatch):
+    """The decompression bound derives from the attacker-declared
+    X-Cube-Shape — it must be clamped to the body cap, or declaring
+    100000x100000x224 re-raises the 'hard bound' to petabytes and the bomb
+    inflates in full before the reshape fails (review r4 follow-up)."""
+    import zlib
+
+    import sshslie_tpu.serve as serve_mod
+    from sshslie_tpu.serve import decode_cube_response
+
+    # Shrink the cap so the test doesn't allocate real memory.
+    monkeypatch.setattr(serve_mod, "_MAX_BODY_BYTES", 1 << 20)
+    bomb = zlib.compress(b"\x00" * (8 << 20), 1)  # 8 MiB > 1 MiB cap
+    headers = {"X-Cube-Encoding": "f32",
+               "X-Cube-Shape": "100000x100000x224",  # declares ~9 PB
+               "Content-Encoding": "deflate"}
+    with pytest.raises(ValueError, match="bound"):
+        decode_cube_response(bomb, headers)
+
+
 def test_reduced_fetch_crops_before_quantizing(service):
     """The u16/bf16 device fetch crops the bucket padding FIRST (review r4):
     the quantization range must cover only real pixels — network output over
