@@ -112,6 +112,19 @@ def load_checkpoint(
     return params, opt_state, epoch
 
 
+def load_raw_params(path: str) -> Any:
+    """Template-free restore of the params subtree as plain nested dicts of
+    numpy arrays — for format converters (e.g. Orbax export) that have no
+    model instance to shape a template from. Accepts full checkpoints and
+    params-only files."""
+    if not path.endswith(CKPT_SUFFIX) and os.path.exists(path + CKPT_SUFFIX):
+        path += CKPT_SUFFIX
+    raw = _restore_blob(path)
+    if isinstance(raw, dict) and "params" in raw:
+        return raw["params"]
+    return raw
+
+
 def load_pretrained_params(path: str, params_template: Any) -> Tuple[Any, Optional[int]]:
     """Warm-start load accepting a full checkpoint or a bare params file
     (reference main.py:200-205). Returns (params, epoch-or-None)."""

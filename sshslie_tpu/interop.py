@@ -1,4 +1,4 @@
-"""PyTorch-checkpoint interop: import reference ``.pth`` weights.
+"""Checkpoint interop: reference PyTorch ``.pth`` and JAX-ecosystem Orbax.
 
 Users of the reference train with torch and hold ``model_epoch_*.pth``
 checkpoints (reference model.py:595-601: {epoch, model_state_dict,
@@ -14,6 +14,13 @@ Layout translation:
 
 Loading ``.pth`` requires torch (CPU build is fine); import it before any
 jax/TPU initialization in fresh processes.
+
+Orbax (``export_orbax_checkpoint`` / ``import_orbax_checkpoint``) is the JAX
+ecosystem's common on-disk format: exporting lets any downstream
+orbax-based stack (``StandardCheckpointer``) restore our trained params
+without this package; importing accepts params saved by such stacks as
+``pretrained_model`` warm starts. Net-new interop — the reference has only
+``.pth``.
 """
 
 from __future__ import annotations
@@ -206,9 +213,16 @@ def load_torch_checkpoint(path: str) -> Tuple[Dict[str, Any], Optional[int]]:
 def import_torch_checkpoint(pth_path: str, out_path: str) -> str:
     """Convert a reference ``.pth`` into our msgpack params file (loadable by
     ``pretrained_model`` warm start). Returns the written path."""
+    params, epoch = load_torch_checkpoint(pth_path)
+    return _write_params_ckpt(params, out_path, epoch,
+                              source=pth_path)
+
+
+def _write_params_ckpt(params: Dict[str, Any], out_path: str,
+                       epoch: Optional[int], source: str) -> str:
+    """Write a params(-only) msgpack file in the warm-start format."""
     from flax import serialization
 
-    params, epoch = load_torch_checkpoint(pth_path)
     payload = serialization.to_state_dict(params)
     if epoch is not None:
         payload = {"epoch": np.asarray(epoch, dtype=np.int64), "params": payload}
@@ -217,5 +231,47 @@ def import_torch_checkpoint(pth_path: str, out_path: str) -> str:
         out_path += ".ckpt"
     with open(out_path, "wb") as fh:
         fh.write(blob)
-    print(f"Imported {pth_path} → {out_path}")
+    print(f"Imported {source} → {out_path}")
     return out_path
+
+
+def export_orbax_checkpoint(ckpt_path: str, out_dir: str) -> str:
+    """Write a sshslie checkpoint's params as an Orbax StandardCheckpoint
+    directory.
+
+    Accepts any of our checkpoint flavors (full training checkpoint,
+    params-only warm-start file) and emits the params pytree alone —
+    optimizer moments are framework-internal and do not transfer. The
+    output restores in any orbax-based stack::
+
+        orbax.checkpoint.StandardCheckpointer().restore(out_dir)
+
+    ``out_dir`` must not already exist (Orbax's atomicity contract).
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from sshslie_tpu import checkpoints
+
+    params = checkpoints.load_raw_params(ckpt_path)
+    out_dir = os.path.abspath(out_dir)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(out_dir, params)
+        ckptr.wait_until_finished()
+    print(f"Exported {ckpt_path} → {out_dir} (Orbax StandardCheckpoint)")
+    return out_dir
+
+
+def import_orbax_checkpoint(orbax_dir: str, out_path: str) -> str:
+    """Convert an Orbax StandardCheckpoint directory of our parameter tree
+    into the msgpack params file ``pretrained_model`` warm-starts from.
+    Returns the written path. Tree-structure mismatches surface at warm-start
+    (flax ``from_state_dict`` names the missing/extra keys)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        params = ckptr.restore(os.path.abspath(orbax_dir))
+    return _write_params_ckpt(params, out_path, None, source=orbax_dir)

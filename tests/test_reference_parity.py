@@ -382,3 +382,38 @@ def test_interop_script_mains_roundtrip(paired_models, tmp_path):
     ref2 = type(ref)(input_channels=C, device=torch.device("cpu"))
     ref2.load_state_dict(ck["model_state_dict"])  # loads cleanly
     assert ck["epoch"] == 5
+
+
+def test_orbax_export_import_roundtrip(paired_models, tmp_path):
+    """Orbax interop (net-new vs the reference, which ships .pth only):
+    export our checkpoint as a StandardCheckpoint dir, restore it with plain
+    orbax (no sshslie loaders), and re-import it as a warm-start params file
+    — leaf equality through the full circle, driven via the script mains."""
+    pytest.importorskip("orbax.checkpoint")
+    import orbax.checkpoint as ocp
+
+    import scripts.export_orbax_checkpoint as exp
+    import scripts.import_orbax_checkpoint as imp
+    from sshslie_tpu import checkpoints
+
+    _, _, params, _ = paired_models
+    ours_ckpt = tmp_path / "ours.ckpt"
+    checkpoints.save_checkpoint(str(ours_ckpt), params, None, 5)
+
+    orbax_dir = tmp_path / "orbax_params"
+    exp.main([str(ours_ckpt), str(orbax_dir)])
+
+    # A third-party orbax stack restores it without this package.
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(str(orbax_dir))
+    ra, pa = jax.tree.leaves(restored), jax.tree.leaves(params)
+    assert len(ra) == len(pa)
+    for a, b in zip(ra, pa):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    imported = tmp_path / "imported.ckpt"
+    imp.main([str(orbax_dir), str(imported)])
+    loaded, epoch = checkpoints.load_pretrained_params(str(imported), params)
+    assert epoch is None
+    for a, b in zip(jax.tree.leaves(loaded), pa):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
