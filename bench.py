@@ -66,7 +66,7 @@ def _step_flops(step, *example_args) -> float | None:
 
 def measure(batch: int, patch: int, channels: int, steps: int, warmup: int,
             precision: str, attention_impl: str = "auto",
-            conv_impl: str = "auto") -> dict:
+            conv_impl: str = "auto", remat: bool = False) -> dict:
     """Time the jitted train step at one workload; returns throughput + FLOPs."""
     import jax
     import jax.numpy as jnp
@@ -79,7 +79,7 @@ def measure(batch: int, patch: int, channels: int, steps: int, warmup: int,
 
     cfg = Config(channels=channels, patch_size=patch, batch_size=batch,
                  precision=precision, attention_impl=attention_impl,
-                 conv_impl=conv_impl)
+                 conv_impl=conv_impl, remat=remat)
     model = build_model(cfg, cfg.channels)
     params = init_params(model, 0, cfg.patch_size)
     tx = make_optimizer()

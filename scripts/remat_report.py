@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""A/B the `remat` knob (per-sub-network jax.checkpoint, models/enhance.py):
+compiled memory analysis + measured step time, remat off vs on, at one
+train-step workload.
+
+Remat trades one extra forward of recompute for holding only one
+sub-network's activations live during the backward — the knob that lets
+otherwise-OOM (batch × patch² × channels) configs fit HBM. This prints the
+measured exchange rate:
+
+  python scripts/remat_report.py --batch 8 --patch 128 --channels 64 \
+      --precision bfloat16 [--device cpu]
+
+One JSON object: per-arm temp/argument/output bytes (XLA memory analysis),
+step seconds, MPB/s, and the ratios.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _memory_analysis(batch, patch, channels, precision, attention_impl,
+                     conv_impl, remat):
+    """Compile the train step and return XLA's memory analysis in bytes."""
+    import jax
+    import jax.numpy as jnp
+
+    from sshslie_tpu.config import Config
+    from sshslie_tpu.train import (
+        TrainState, build_model, init_params, loss_coeffs, make_optimizer,
+        make_train_step,
+    )
+
+    cfg = Config(channels=channels, patch_size=patch, batch_size=batch,
+                 precision=precision, attention_impl=attention_impl,
+                 conv_impl=conv_impl, remat=remat)
+    model = build_model(cfg, cfg.channels)
+    params = init_params(model, 0, cfg.patch_size)
+    tx = make_optimizer()
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    step = make_train_step(model, tx, loss_coeffs(cfg))
+    x = jnp.zeros((batch, patch, patch, channels), jnp.float32)
+    compiled = step.lower(state, x, jnp.float32(1e-3)).compile()
+    mem = compiled.memory_analysis()
+    if mem is None:
+        return None
+    out = {}
+    for k in ("temp_size_in_bytes", "argument_size_in_bytes",
+              "output_size_in_bytes", "generated_code_size_in_bytes"):
+        v = getattr(mem, k, None)
+        if v is not None:
+            out[k.replace("_size_in_bytes", "_bytes")] = int(v)
+    return out or None
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--patch", type=int, default=128)
+    ap.add_argument("--channels", type=int, default=64)
+    ap.add_argument("--precision", default="bfloat16")
+    ap.add_argument("--attention_impl", default="auto")
+    ap.add_argument("--conv_impl", default="auto")
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--skip-timing", action="store_true",
+                    help="memory analysis only (no device stepping)")
+    ap.add_argument("--device", default="",
+                    help="'cpu' forces the CPU backend (memory analysis "
+                         "only there — CPU numbers are not HBM)")
+    ap.add_argument("--out", default="", help="also write the JSON here")
+    args = ap.parse_args(argv)
+
+    import torch  # noqa: F401  (torch before jax)
+    import jax
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+    from sshslie_tpu.utils.jit_cache import enable as enable_jit_cache
+
+    enable_jit_cache()
+
+    import bench
+
+    result = {
+        "workload": f"b{args.batch}_p{args.patch}_c{args.channels}_"
+                    f"{args.precision}",
+        "backend": jax.default_backend(),
+    }
+    for arm, remat in (("no_remat", False), ("remat", True)):
+        entry = {}
+        mem = _memory_analysis(args.batch, args.patch, args.channels,
+                               args.precision, args.attention_impl,
+                               args.conv_impl, remat)
+        if mem:
+            entry.update(mem)
+        if not args.skip_timing:
+            m = bench.measure(args.batch, args.patch, args.channels,
+                              args.steps, args.warmup, args.precision,
+                              args.attention_impl, args.conv_impl,
+                              remat=remat)
+            entry["step_seconds"] = m["step_seconds"]
+            entry["mpb_per_sec"] = m["value"]
+        result[arm] = entry
+
+    a, b = result["no_remat"], result["remat"]
+    if "temp_bytes" in a and "temp_bytes" in b and b["temp_bytes"]:
+        result["temp_bytes_ratio"] = round(a["temp_bytes"] / b["temp_bytes"], 3)
+    if "step_seconds" in a and a["step_seconds"]:
+        result["step_time_ratio"] = round(
+            b["step_seconds"] / a["step_seconds"], 3)
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

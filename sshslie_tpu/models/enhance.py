@@ -27,14 +27,25 @@ class LowLightEnhanceNet(nn.Module):
     use_transformer: bool = True
     attention_impl: str = "auto"
     conv_impl: str = "xla"
+    remat: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
-        self.decomposition_net = DecompositionNet(
+        # remat: rematerialize each sub-network's activations in the backward
+        # pass instead of keeping them live across the whole step. The three
+        # applications (decom(low) → illum → decom(S)) are sequential, so
+        # per-sub-network checkpointing caps live residuals at one
+        # sub-network's worth (~3× activation-memory cut) for one extra
+        # forward of recompute. Lifted transform: the parameter tree is
+        # unchanged (tests/test_train.py enforces), so checkpoints are
+        # interchangeable across the flag.
+        decom_cls = nn.remat(DecompositionNet) if self.remat else DecompositionNet
+        illum_cls = nn.remat(IllumAdjustmentNet) if self.remat else IllumAdjustmentNet
+        self.decomposition_net = decom_cls(
             in_channels=self.input_channels, channel=self.channel,
             dtype=self.dtype, conv_impl=self.conv_impl,
         )
-        self.illum_adjust_net = IllumAdjustmentNet(
+        self.illum_adjust_net = illum_cls(
             in_channels=self.input_channels,
             channel=self.channel,
             use_attention=self.use_attention,

@@ -101,6 +101,7 @@ def build_model(cfg: Config, channels: int) -> LowLightEnhanceNet:
         # stay for narrower-graph uses and future Mosaic layout support.
         conv_impl=cfg.conv_impl if cfg.conv_impl in (
             "pallas", "pallas_dgrad") else "xla",
+        remat=cfg.remat,
         dtype=dtype,
     )
 

@@ -554,3 +554,45 @@ def test_resume_exact_trajectory_host_pipeline(tmp_path, rng):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     finally:
         os.chdir(cwd)
+
+
+def test_remat_matches_baseline(rng):
+    """`remat: true` (per-sub-network jax.checkpoint) must leave the
+    parameter tree identical (checkpoints interchangeable across the flag)
+    and the training trajectory equal to the non-remat step up to
+    fusion-rounding — remat recomputes the same ops, it must not change
+    the optimization path."""
+    cfg = _tiny_cfg()
+    cfg_r = _tiny_cfg(remat=True)
+    model = build_model(cfg, cfg.channels)
+    model_r = build_model(cfg_r, cfg.channels)
+    assert model_r.remat and not model.remat
+
+    params = init_params(model, cfg.seed_value, cfg.patch_size)
+    params_r = init_params(model_r, cfg.seed_value, cfg.patch_size)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_r))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params_r)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    tx = make_optimizer()
+    batches = [jnp.asarray(rng.rand(2, 16, 16, 6).astype(np.float32))
+               for _ in range(5)]
+
+    def run_fixed(m):
+        p = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        state = TrainState(params=p, opt_state=tx.init(p),
+                           step=jnp.zeros((), jnp.int32))
+        step = make_train_step(m, tx, loss_coeffs(cfg))
+        traj = []
+        for b in batches:
+            state, terms = step(state, b, jnp.float32(1e-3))
+            traj.append(float(terms["total_loss"]))
+        return traj, state
+
+    t0, s0 = run_fixed(model)
+    t1, s1 = run_fixed(model_r)
+    np.testing.assert_allclose(t0, t1, rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=5e-6)
