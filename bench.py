@@ -162,6 +162,9 @@ def main(argv=None):
     ap.add_argument("--conv_impl", default="auto",
                     help="'pallas' routes the shallow conv to the "
                          "hand-written Mosaic kernels (ops/conv_pallas.py)")
+    ap.add_argument("--remat", action="store_true",
+                    help="per-sub-network rematerialization (the HBM-vs-"
+                         "recompute knob; docs/PERFORMANCE.md r4)")
     ap.add_argument("--no-best", action="store_true",
                     help="skip the second, throughput-optimal (b8/bf16) run")
     ap.add_argument("--extra", action="store_true", help="also bench full-cube inference")
@@ -194,7 +197,7 @@ def main(argv=None):
 
     ref = measure(args.batch, args.patch, args.channels, args.steps,
                   args.warmup, args.precision, args.attention_impl,
-                  args.conv_impl)
+                  args.conv_impl, remat=args.remat)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "baseline_torch_cpu.json")
@@ -219,6 +222,8 @@ def main(argv=None):
         result["matmul_precision"] = args.matmul_precision
     if args.conv_impl != "auto":
         result["conv_impl"] = args.conv_impl
+    if args.remat:
+        result["remat"] = True
     for k in ("flops_per_step", "tflops_eff", "mfu_pct", "peak_tflops_bf16"):
         if k in ref:
             result[k] = ref[k]
@@ -228,7 +233,8 @@ def main(argv=None):
         # halves HBM traffic. Reported alongside (not instead of) the
         # reference-workload number.
         best = measure(8, args.patch, args.channels, args.steps, args.warmup,
-                       "bfloat16", args.attention_impl, args.conv_impl)
+                       "bfloat16", args.attention_impl, args.conv_impl,
+                       remat=args.remat)
         if vs_baseline is not None:
             best["vs_baseline"] = round(best["value"] / base["mpb_per_sec"], 2)
         result["best"] = best

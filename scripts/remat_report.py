@@ -72,6 +72,12 @@ def main(argv=None):
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--skip-timing", action="store_true",
                     help="memory analysis only (no device stepping)")
+    ap.add_argument("--time-arms", default="no_remat,remat",
+                    help="comma list of arms to actually step on the device "
+                         "(both by default). Use '--time-arms remat' at "
+                         "workloads whose no-remat arm exceeds HBM: the "
+                         "memory analysis still covers both arms (compile-"
+                         "only), but only the fitting arm executes")
     ap.add_argument("--device", default="",
                     help="'cpu' forces the CPU backend (memory analysis "
                          "only there — CPU numbers are not HBM)")
@@ -101,7 +107,7 @@ def main(argv=None):
                                args.conv_impl, remat)
         if mem:
             entry.update(mem)
-        if not args.skip_timing:
+        if not args.skip_timing and arm in args.time_arms.split(","):
             m = bench.measure(args.batch, args.patch, args.channels,
                               args.steps, args.warmup, args.precision,
                               args.attention_impl, args.conv_impl,

@@ -496,3 +496,38 @@ def test_auto_window_not_resolved_when_pipeline_off(tmp_path, rng,
         assert len(trainer.all_epoch_losses["total_loss"]) == 1
     finally:
         os.chdir(cwd)
+
+
+def test_fused_step_remat_matches_baseline(tmp_path, rng):
+    """`remat: true` must compose with the fused on-device sampler: same
+    parameter tree and a trajectory equal to the non-remat fused step up to
+    fusion-rounding (remat recomputes the same ops — the sampled patch
+    stream and update math must be untouched)."""
+    store = _store(tmp_path, rng)
+    cubes = stack_cubes(store)
+    tx = make_optimizer()
+    key = jax.random.PRNGKey(3)
+
+    def run(remat):
+        cfg = Config(channels=6, patch_size=16, batch_size=2,
+                     attention_impl="xla", remat=remat)
+        model = build_model(cfg, 6)
+        assert model.remat is remat
+        params = init_params(model, 0, 16)
+        state = TrainState(params=params, opt_state=tx.init(params),
+                           step=jnp.zeros((), jnp.int32))
+        step = make_fused_train_step(model, tx, loss_coeffs(cfg),
+                                     batch_size=2, patch_size=16)
+        traj = []
+        for i in range(5):
+            state, terms = step(state, cubes, jax.random.fold_in(key, i),
+                                jnp.int32(0), jnp.float32(1e-3))
+            traj.append(float(terms["total_loss"]))
+        return traj, state
+
+    t0, s0 = run(False)
+    t1, s1 = run(True)
+    np.testing.assert_allclose(t0, t1, rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=5e-6)
