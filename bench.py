@@ -64,10 +64,13 @@ def _step_flops(step, *example_args) -> float | None:
         return None
 
 
-def measure(batch: int, patch: int, channels: int, steps: int, warmup: int,
-            precision: str, attention_impl: str = "auto",
-            conv_impl: str = "auto", remat: bool = False) -> dict:
-    """Time the jitted train step at one workload; returns throughput + FLOPs."""
+def build_step_workload(batch: int, patch: int, channels: int,
+                        precision: str, attention_impl: str = "auto",
+                        conv_impl: str = "auto", remat: bool = False):
+    """One canonical construction of (step, state, batch_x, lr) at a
+    workload — shared by the timing path below and the compile-only
+    analyses (scripts/remat_report.py) so they always measure the SAME
+    graph."""
     import jax
     import jax.numpy as jnp
 
@@ -86,12 +89,20 @@ def measure(batch: int, patch: int, channels: int, steps: int, warmup: int,
     state = TrainState(params=params, opt_state=tx.init(params),
                        step=jnp.zeros((), jnp.int32))
     step = make_train_step(model, tx, loss_coeffs(cfg))
-
-    key = jax.random.PRNGKey(0)
     batch_x = jax.random.uniform(
-        key, (batch, patch, patch, channels), jnp.float32
+        jax.random.PRNGKey(0), (batch, patch, patch, channels), jnp.float32
     )
-    lr = jnp.float32(1e-3)
+    return step, state, batch_x, jnp.float32(1e-3)
+
+
+def measure(batch: int, patch: int, channels: int, steps: int, warmup: int,
+            precision: str, attention_impl: str = "auto",
+            conv_impl: str = "auto", remat: bool = False) -> dict:
+    """Time the jitted train step at one workload; returns throughput + FLOPs."""
+    import jax
+
+    step, state, batch_x, lr = build_step_workload(
+        batch, patch, channels, precision, attention_impl, conv_impl, remat)
     flops = _step_flops(step, state, batch_x, lr)
 
     def timed_chain(state, n):
@@ -235,6 +246,10 @@ def main(argv=None):
         best = measure(8, args.patch, args.channels, args.steps, args.warmup,
                        "bfloat16", args.attention_impl, args.conv_impl,
                        remat=args.remat)
+        if args.remat:
+            # mark it: a remat 'best' is NOT comparable to the documented
+            # throughput-optimal (non-remat) historical numbers
+            best["remat"] = True
         if vs_baseline is not None:
             best["vs_baseline"] = round(best["value"] / base["mpb_per_sec"], 2)
         result["best"] = best

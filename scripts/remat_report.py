@@ -27,27 +27,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def _memory_analysis(batch, patch, channels, precision, attention_impl,
                      conv_impl, remat):
-    """Compile the train step and return XLA's memory analysis in bytes."""
-    import jax
-    import jax.numpy as jnp
+    """Compile the train step (same construction as bench.measure — shared
+    helper) and return XLA's memory analysis in bytes. On TPU, XLA assigns
+    buffers at compile time, so an arm that exceeds HBM fails HERE with
+    RESOURCE_EXHAUSTED — that is a *result* (the arm does not fit), not a
+    crash: it's reported as {"compile_oom": true, "error": ...} so the
+    other arm still runs.
+    """
+    import jax  # noqa: F401  (backend must be up before lowering)
 
-    from sshslie_tpu.config import Config
-    from sshslie_tpu.train import (
-        TrainState, build_model, init_params, loss_coeffs, make_optimizer,
-        make_train_step,
-    )
+    import bench
 
-    cfg = Config(channels=channels, patch_size=patch, batch_size=batch,
-                 precision=precision, attention_impl=attention_impl,
-                 conv_impl=conv_impl, remat=remat)
-    model = build_model(cfg, cfg.channels)
-    params = init_params(model, 0, cfg.patch_size)
-    tx = make_optimizer()
-    state = TrainState(params=params, opt_state=tx.init(params),
-                       step=jnp.zeros((), jnp.int32))
-    step = make_train_step(model, tx, loss_coeffs(cfg))
-    x = jnp.zeros((batch, patch, patch, channels), jnp.float32)
-    compiled = step.lower(state, x, jnp.float32(1e-3)).compile()
+    step, state, x, lr = bench.build_step_workload(
+        batch, patch, channels, precision, attention_impl, conv_impl, remat)
+    try:
+        compiled = step.lower(state, x, lr).compile()
+    except Exception as e:  # RESOURCE_EXHAUSTED surfaces as JaxRuntimeError
+        msg = str(e)
+        if "RESOURCE_EXHAUSTED" in msg or "Ran out of memory" in msg:
+            first = next((ln for ln in msg.splitlines()
+                          if "Ran out of memory" in ln), msg.splitlines()[0])
+            return {"compile_oom": True, "error": first.strip()}
+        raise
     mem = compiled.memory_analysis()
     if mem is None:
         return None
@@ -100,6 +101,11 @@ def main(argv=None):
                     f"{args.precision}",
         "backend": jax.default_backend(),
     }
+    time_arms = {t.strip() for t in args.time_arms.split(",") if t.strip()}
+    unknown = time_arms - {"no_remat", "remat"}
+    if unknown:
+        ap.error(f"--time-arms: unknown arm(s) {sorted(unknown)} "
+                 "(valid: no_remat, remat)")
     for arm, remat in (("no_remat", False), ("remat", True)):
         entry = {}
         mem = _memory_analysis(args.batch, args.patch, args.channels,
@@ -107,7 +113,8 @@ def main(argv=None):
                                args.conv_impl, remat)
         if mem:
             entry.update(mem)
-        if not args.skip_timing and arm in args.time_arms.split(","):
+        if (not args.skip_timing and arm in time_arms
+                and not entry.get("compile_oom")):
             m = bench.measure(args.batch, args.patch, args.channels,
                               args.steps, args.warmup, args.precision,
                               args.attention_impl, args.conv_impl,
@@ -119,7 +126,7 @@ def main(argv=None):
     a, b = result["no_remat"], result["remat"]
     if "temp_bytes" in a and "temp_bytes" in b and b["temp_bytes"]:
         result["temp_bytes_ratio"] = round(a["temp_bytes"] / b["temp_bytes"], 3)
-    if "step_seconds" in a and a["step_seconds"]:
+    if a.get("step_seconds") and b.get("step_seconds"):
         result["step_time_ratio"] = round(
             b["step_seconds"] / a["step_seconds"], 3)
     line = json.dumps(result)

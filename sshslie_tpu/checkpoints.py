@@ -122,6 +122,15 @@ def load_raw_params(path: str) -> Any:
     raw = _restore_blob(path)
     if isinstance(raw, dict) and "params" in raw:
         return raw["params"]
+    if isinstance(raw, dict) and {"format_version", "opt_state",
+                                  "epoch"} & set(raw):
+        # checkpoint-shaped metadata but no params subtree: a torn/foreign
+        # file — exporting its raw dict (metadata leaves included) would
+        # only fail much later as a tree mismatch downstream
+        raise ValueError(
+            f"{path} looks like a checkpoint (keys {sorted(raw)}) but holds "
+            "no 'params' subtree — refusing to export it as a params tree"
+        )
     return raw
 
 

@@ -39,6 +39,25 @@ def test_wrong_payload_checkpoint(tmp_path, tree):
         checkpoints.load_checkpoint(str(p), tree, tree)
 
 
+def test_load_raw_params_refuses_paramsless_checkpoint(tmp_path, tree):
+    """A checkpoint-shaped blob (metadata keys) without a params subtree must
+    be refused by the template-free loader, not exported as a params tree —
+    while a genuine bare-params file still passes through."""
+    from flax import serialization
+
+    p = tmp_path / "torn.ckpt"
+    p.write_bytes(serialization.msgpack_serialize(
+        {"format_version": 1, "epoch": 3}))
+    with pytest.raises(ValueError, match="no 'params'"):
+        checkpoints.load_raw_params(str(p))
+
+    bare = tmp_path / "bare.ckpt"
+    bare.write_bytes(serialization.msgpack_serialize(
+        {"Dense_0": {"kernel": np.ones((2, 2), np.float32)}}))
+    out = checkpoints.load_raw_params(str(bare))
+    np.testing.assert_array_equal(out["Dense_0"]["kernel"], np.ones((2, 2)))
+
+
 def test_atomic_write_leaves_no_torn_latest(tmp_path, tree, monkeypatch):
     """A crash mid-write (simulated by failing the tmp write) must leave the
     previous 'latest' checkpoint untouched and loadable."""
