@@ -43,7 +43,9 @@ def _memory_analysis(batch, patch, channels, precision, attention_impl,
     try:
         compiled = step.lower(state, x, lr).compile()
     except Exception as e:  # RESOURCE_EXHAUSTED surfaces as JaxRuntimeError
-        msg = str(e)
+        import re
+
+        msg = re.sub(r"\x1b\[[0-9;]*m", "", str(e))
         if "RESOURCE_EXHAUSTED" in msg or "Ran out of memory" in msg:
             first = next((ln for ln in msg.splitlines()
                           if "Ran out of memory" in ln), msg.splitlines()[0])
@@ -73,6 +75,13 @@ def main(argv=None):
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--skip-timing", action="store_true",
                     help="memory analysis only (no device stepping)")
+    ap.add_argument("--arms", default="no_remat,remat",
+                    help="comma list of arms to build/compile at all. A "
+                         "compile that OOMs can leave relay-side compile "
+                         "state that corrupts the NEXT compile in the same "
+                         "process — run one arm per process ('--arms "
+                         "no_remat', then '--arms remat') around the HBM "
+                         "boundary and merge the JSONs")
     ap.add_argument("--time-arms", default="no_remat,remat",
                     help="comma list of arms to actually step on the device "
                          "(both by default). Use '--time-arms remat' at "
@@ -102,11 +111,14 @@ def main(argv=None):
         "backend": jax.default_backend(),
     }
     time_arms = {t.strip() for t in args.time_arms.split(",") if t.strip()}
-    unknown = time_arms - {"no_remat", "remat"}
+    arms = {t.strip() for t in args.arms.split(",") if t.strip()}
+    unknown = (time_arms | arms) - {"no_remat", "remat"}
     if unknown:
-        ap.error(f"--time-arms: unknown arm(s) {sorted(unknown)} "
+        ap.error(f"--time-arms/--arms: unknown arm(s) {sorted(unknown)} "
                  "(valid: no_remat, remat)")
     for arm, remat in (("no_remat", False), ("remat", True)):
+        if arm not in arms:
+            continue
         entry = {}
         mem = _memory_analysis(args.batch, args.patch, args.channels,
                                args.precision, args.attention_impl,
@@ -123,7 +135,8 @@ def main(argv=None):
             entry["mpb_per_sec"] = m["value"]
         result[arm] = entry
 
-    a, b = result["no_remat"], result["remat"]
+    a = result.get("no_remat", {})
+    b = result.get("remat", {})
     if "temp_bytes" in a and "temp_bytes" in b and b["temp_bytes"]:
         result["temp_bytes_ratio"] = round(a["temp_bytes"] / b["temp_bytes"], 3)
     if a.get("step_seconds") and b.get("step_seconds"):

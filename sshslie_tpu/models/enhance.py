@@ -35,8 +35,10 @@ class LowLightEnhanceNet(nn.Module):
         # pass instead of keeping them live across the whole step. The three
         # applications (decom(low) → illum → decom(S)) are sequential, so
         # per-sub-network checkpointing caps live residuals at one
-        # sub-network's worth (~3× activation-memory cut) for one extra
-        # forward of recompute. Lifted transform: the parameter tree is
+        # sub-network's worth (measured 1.7-1.9x lower XLA-assigned temp for
+        # 1.21-1.28x step time — a co-residency headroom knob, NOT a
+        # fit-unlock: docs/PERFORMANCE.md r4 scale sweep). Lifted transform:
+        # the parameter tree is
         # unchanged (tests/test_train.py enforces), so checkpoints are
         # interchangeable across the flag.
         decom_cls = nn.remat(DecompositionNet) if self.remat else DecompositionNet
