@@ -517,6 +517,43 @@ def auto_fused_window(store: CubeStore, batch_size: int, device=None,
     return int(min(k, n - 1))
 
 
+def report_hbm_pressure(device=None, threshold: float = 0.92):
+    """One-line device-memory pressure report, printed once after the first
+    trained epoch.
+
+    XLA:TPU fits HBM-oversubscribed programs at compile time by silently
+    trading step time for memory (measured: the no-remat b8 p380 step runs
+    at 16.95 GiB naive temp on a 15.75 GiB chip — docs/PERFORMANCE.md r4
+    remat scale sweep). A peak near the ceiling is the observable symptom,
+    so surface it: the user can shrink batch/patch or set ``remat: true``
+    for co-residency headroom instead of wondering why steps got slower.
+    Returns the printed line, or None when the backend exposes no memory
+    stats (CPU virtual devices, some relays) or on non-zero processes.
+    """
+    if jax.process_index() != 0:
+        return None
+    if device is None:
+        device = jax.local_devices()[0]
+    try:
+        stats = device.memory_stats()
+    except Exception:
+        stats = None
+    if not stats or "bytes_limit" not in stats:
+        return None
+    limit = int(stats["bytes_limit"])
+    peak = int(stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)))
+    if limit <= 0 or peak <= 0:
+        return None
+    gib = 1024.0 ** 3
+    line = (f"HBM pressure: peak {peak / gib:.2f}/{limit / gib:.2f} GiB "
+            f"({100.0 * peak / limit:.1f}%)")
+    if peak >= threshold * limit:
+        line += (" — near the ceiling: XLA may be trading step time for "
+                 "memory; consider a smaller batch/patch or remat: true")
+    print(line)
+    return line
+
+
 class WindowedCubeFeeder:
     """Rotating device-resident window for the fused pipeline over datasets
     too large to stack in HBM (VERDICT r2 weak #5; net-new vs the reference,
@@ -1124,6 +1161,14 @@ class Trainer:
                 avg = {k: (host_sums[k] / count if count else 0.0) for k in LOSS_KEYS}
                 for k in LOSS_KEYS:
                     self.all_epoch_losses[k].append(avg[k])
+
+                if epoch == start_epoch:
+                    # Once, after the step has actually executed: peak HBM vs
+                    # limit, with a warning when XLA is likely squeezing.
+                    report_hbm_pressure(
+                        self.mesh.devices.flat[0] if self.mesh is not None
+                        else None
+                    )
 
                 if eval_result_dir and (epoch + 1) % cfg.plot_every_epoch == 0 and self.observer:
                     self.observer.plot_loss_curve(

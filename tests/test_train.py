@@ -596,3 +596,35 @@ def test_remat_matches_baseline(rng):
     for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=5e-6)
+
+
+def test_report_hbm_pressure(capsys):
+    """Formatting + threshold behavior against a fake device; None on
+    backends without memory stats (the CPU suite's own devices)."""
+    from sshslie_tpu.train import report_hbm_pressure
+
+    class Dev:
+        def __init__(self, stats):
+            self._stats = stats
+
+        def memory_stats(self):
+            if self._stats is None:
+                raise RuntimeError("no stats")
+            return self._stats
+
+    gib = 1024 ** 3
+    line = report_hbm_pressure(Dev({"bytes_limit": 16 * gib,
+                                    "peak_bytes_in_use": 8 * gib}))
+    assert line == "HBM pressure: peak 8.00/16.00 GiB (50.0%)"
+
+    line = report_hbm_pressure(Dev({"bytes_limit": 16 * gib,
+                                    "peak_bytes_in_use": 15 * gib}))
+    assert "near the ceiling" in line and "remat" in line
+
+    assert report_hbm_pressure(Dev(None)) is None
+    assert report_hbm_pressure(Dev({})) is None
+    # falls back to bytes_in_use when there's no peak counter
+    line = report_hbm_pressure(Dev({"bytes_limit": 10 * gib,
+                                    "bytes_in_use": 1 * gib}))
+    assert "(10.0%)" in line
+    capsys.readouterr()
