@@ -1261,6 +1261,27 @@ class Trainer:
                           "stopping (resume with resume: true)")
                     break
 
+            # Final-tail checkpoint (PARITY #22): the reference saves ONLY on
+            # the eval cadence (model.py:328-331), so a run whose epoch count
+            # isn't a multiple of eval_every_epoch ends with its last epochs
+            # unsaved — and train_and_test then dies at the test phase on a
+            # missing model_epoch_latest. Completed training is never lost
+            # here: write the final epoch's checkpoint when the cadence
+            # didn't already cover it.
+            if (jax.process_index() == 0 and not self._stop_requested
+                    and cfg.epoch > start_epoch
+                    and cfg.epoch % cfg.eval_every_epoch != 0):
+                saved = checkpoints.save_checkpoint(
+                    checkpoints.epoch_path(ckpt_dir, cfg.epoch),
+                    self.state.params, self.state.opt_state, cfg.epoch,
+                )
+                latest = checkpoints.copy_checkpoint(
+                    saved, checkpoints.latest_path(ckpt_dir)
+                )
+                print(f"Final checkpoint saved at {latest}")
+                if cfg.checkpoint_keep > 0:
+                    checkpoints.prune_checkpoints(ckpt_dir, cfg.checkpoint_keep)
+
         finally:
             # Always restore the original signal handlers — a mid-train
             # exception must not leave the process uninterruptible.

@@ -296,7 +296,11 @@ def test_trainer_fit_integration(tmp_path, rng):
         trainer = Trainer(cfg, channels=6)
         trainer.fit(store, ckpt_dir="ck")
         assert len(trainer.all_epoch_losses["total_loss"]) == 2
-        assert os.path.exists("ck/model_epoch_latest.ckpt") is False  # eval_every=100
+        # PARITY #22: eval_every=100 never hits the cadence, but the final
+        # tail checkpoint keeps the completed run restorable (the reference
+        # would end with nothing saved and train_and_test dies at test).
+        assert os.path.exists("ck/model_epoch_latest.ckpt")
+        assert os.path.exists("ck/model_epoch_2.ckpt")
         assert all(np.isfinite(v) for v in trainer.all_epoch_losses["total_loss"])
     finally:
         os.chdir(cwd)
@@ -628,3 +632,35 @@ def test_report_hbm_pressure(capsys):
                                     "bytes_in_use": 1 * gib}))
     assert "(10.0%)" in line
     capsys.readouterr()
+
+
+def test_final_tail_checkpoint_skipped_on_cadence(tmp_path, rng):
+    """When the last epoch lands ON the eval cadence, no extra final save
+    happens (the cadence file/latest pair is exactly what ships) — and the
+    latest checkpoint restores to the final epoch either way."""
+    import scipy.io as sio
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        os.makedirs("cubes", exist_ok=True)
+        for i in range(2):
+            sio.savemat(f"cubes/c{i}.mat",
+                        {"data": (rng.rand(24, 24, 6) * 4000).astype(np.float32)})
+        from sshslie_tpu import checkpoints
+        from sshslie_tpu.data.datasets import CubeStore
+
+        store = CubeStore("cubes", normalization="global_normalization",
+                          global_min=0.0, global_max=4095.0)
+        cfg = _tiny_cfg(epoch=2, eval_every_epoch=2, global_min=0.0,
+                        global_max=4095.0)
+        trainer = Trainer(cfg, channels=6)
+        trainer.fit(store, ckpt_dir="ck")
+        names = sorted(os.listdir("ck"))
+        assert names == ["model_epoch_2.ckpt", "model_epoch_latest.ckpt"]
+        _, _, epoch = checkpoints.load_checkpoint(
+            "ck/model_epoch_latest.ckpt", trainer.state.params,
+            trainer.state.opt_state)
+        assert epoch == 2
+    finally:
+        os.chdir(cwd)
