@@ -145,9 +145,10 @@ def _check_train_split(cfg, rep: Report, store) -> None:
     else:
         rep.ok("patch size", f"{cfg.patch_size} fits {min_h}x{min_w}")
     if len(store) < cfg.batch_size:
-        rep.warn("batch size",
-                 f"batch_size {cfg.batch_size} > {len(store)} cubes: epoch "
-                 "has zero batches (reference remainder-drop semantics)")
+        rep.fail("batch size",
+                 f"batch_size {cfg.batch_size} > {len(store)} cubes: zero "
+                 "steps per epoch — fit refuses this (PARITY #23); reduce "
+                 "batch_size")
     # Value range vs the normalization constants — load ONE cube raw. Only
     # meaningful under global_normalization: 'self'/max modes never consult
     # global_min/global_max, so comparing against them there produces

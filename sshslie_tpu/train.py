@@ -756,6 +756,16 @@ class Trainer:
                         f"{train_store.files[i]} has {s[2]} (check the "
                         f"'channels' config key and dataset uniformity)"
                     )
+        if len(train_store) // cfg.batch_size == 0:
+            # PARITY #23: the reference's num_batches = N // batch_size
+            # (model.py:253) silently becomes 0 when batch_size exceeds the
+            # dataset — every epoch runs zero steps, prints loss 0.0, and
+            # checkpoints untrained weights.
+            raise ValueError(
+                f"batch_size {cfg.batch_size} exceeds the {len(train_store)} "
+                "training cube(s): zero steps per epoch (the epoch drops the "
+                "remainder batch, PARITY #7) — reduce batch_size"
+            )
         ckpt_dir = ckpt_dir or os.path.join(
             cfg.model_ckpt_dir, "Decomposition_" + cfg.timestamp
         )

@@ -110,3 +110,11 @@ def test_value_range_skipped_for_non_global_normalization(workspace):
     assert lv["value range"] == "PASS"
     row = [msg for _, chk, msg in rep.rows if chk == "value range"][0]
     assert "not applicable" in row
+
+
+def test_oversized_batch_fails(workspace):
+    """batch_size > dataset means zero steps/epoch — fit refuses it
+    (PARITY #23), so the doctor must predict that as a FAIL."""
+    rep = run_doctor(_cfg(batch_size=64, phase="train"))
+    assert _levels(rep)["batch size"] == "FAIL"
+    assert rep.failed

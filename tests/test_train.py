@@ -664,3 +664,23 @@ def test_final_tail_checkpoint_skipped_on_cadence(tmp_path, rng):
         assert epoch == 2
     finally:
         os.chdir(cwd)
+
+
+def test_fit_refuses_oversized_batch(tmp_path, rng):
+    """PARITY #23: batch_size > dataset would run zero steps per epoch and
+    checkpoint untrained weights (reference model.py:253); fit fails fast."""
+    import scipy.io as sio
+
+    d = tmp_path / "cubes"
+    d.mkdir()
+    for i in range(2):
+        sio.savemat(d / f"c{i}.mat",
+                    {"data": (rng.rand(24, 24, 6) * 4000).astype(np.float32)})
+    from sshslie_tpu.data.datasets import CubeStore
+
+    store = CubeStore(str(d), normalization="global_normalization",
+                      global_min=0.0, global_max=4095.0)
+    cfg = _tiny_cfg(batch_size=8, global_min=0.0, global_max=4095.0)
+    trainer = Trainer(cfg, channels=6)
+    with pytest.raises(ValueError, match="zero steps per epoch"):
+        trainer.fit(store, ckpt_dir=str(tmp_path / "ck"))
