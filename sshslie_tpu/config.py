@@ -208,6 +208,16 @@ _ENUM_FIELDS: dict[str, tuple] = {
 # int-valued keys that also accept the literal 'auto' (resolved at fit time).
 _INT_OR_AUTO_FIELDS = ("fused_window",)
 
+# Must be >= 1: a zero here silently degrades a run (0 epochs trains nothing
+# then the test phase dies on the missing checkpoint; 0-cadence would
+# ZeroDivisionError mid-run). Keys with meaningful zeros (checkpoint_keep,
+# log_every_step, freeze_decom_epochs, seed_value) are deliberately absent.
+_POSITIVE_INT_FIELDS = (
+    "batch_size", "patch_size", "epoch", "eval_every_epoch",
+    "plot_every_epoch", "prefetch_batches", "steps_per_dispatch",
+    "grad_accum_steps", "eval_batch",
+)
+
 
 def _validate_enums(cfg: "Config") -> None:
     for key, choices in _ENUM_FIELDS.items():
@@ -236,6 +246,13 @@ def _validate_enums(cfg: "Config") -> None:
             raise ValueError(
                 f"config key {key!r}: invalid value {val!r} "
                 "(an integer >= 0, or 'auto')"
+            )
+    for key in _POSITIVE_INT_FIELDS:
+        val = getattr(cfg, key)
+        if isinstance(val, bool) or not isinstance(val, int) or val < 1:
+            raise ValueError(
+                f"config key {key!r}: invalid value {val!r} "
+                "(an integer >= 1)"
             )
 
 

@@ -147,3 +147,24 @@ def test_enum_values_validated_at_load(tmp_path):
                     "matmul_precision": "float32"}, open(p, "w"))
     cfg = load_config(str(p))
     assert cfg.sampler == "native" and cfg.normalization is None
+
+
+def test_positive_int_fields_validated_at_load(tmp_path):
+    """epoch/batch/patch/cadence zeros silently degrade a run (0 epochs
+    trains nothing then test dies on the missing checkpoint; 0 cadence
+    ZeroDivisionErrors mid-run) — refuse them at startup, by name."""
+    import yaml
+
+    for key, bad in (("epoch", 0), ("batch_size", 0), ("patch_size", -1),
+                     ("eval_every_epoch", 0), ("steps_per_dispatch", 0),
+                     ("grad_accum_steps", 0), ("eval_batch", 0)):
+        p = tmp_path / f"{key}.yml"
+        yaml.safe_dump({key: bad}, open(p, "w"))
+        with pytest.raises(ValueError, match=key):
+            load_config(str(p))
+    # meaningful zeros stay legal
+    p = tmp_path / "ok.yml"
+    yaml.safe_dump({"checkpoint_keep": 0, "log_every_step": 0,
+                    "freeze_decom_epochs": 0, "seed_value": 0}, open(p, "w"))
+    cfg = load_config(str(p))
+    assert cfg.checkpoint_keep == 0 and cfg.log_every_step == 0
