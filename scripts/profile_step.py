@@ -85,6 +85,8 @@ def main(argv=None):
     ap.add_argument("--precision", default="bfloat16")
     ap.add_argument("--attention_impl", default="auto")
     ap.add_argument("--conv_impl", default="auto")
+    ap.add_argument("--remat", action="store_true",
+                    help="profile the rematerialized step (remat: true)")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--device", default="", help="'cpu' forces the CPU backend")
@@ -108,7 +110,7 @@ def main(argv=None):
     cfg = Config(channels=args.channels, patch_size=args.patch,
                  batch_size=args.batch, precision=args.precision,
                  attention_impl=args.attention_impl,
-                 conv_impl=args.conv_impl)
+                 conv_impl=args.conv_impl, remat=args.remat)
     model = build_model(cfg, cfg.channels)
     params = init_params(model, 0, cfg.patch_size)
     tx = make_optimizer()

@@ -63,11 +63,13 @@ def test_fused_step_trains(tmp_path, rng):
     assert int(state.step) == 12
 
 
-def test_fused_step_on_mesh(tmp_path, rng):
+@pytest.mark.parametrize("remat", [False, True])
+def test_fused_step_on_mesh(tmp_path, rng, remat):
     store = _store(tmp_path, rng)
     cubes = stack_cubes(store)
     mesh = make_mesh("8")
-    cfg = Config(channels=6, patch_size=16, batch_size=8, attention_impl="xla")
+    cfg = Config(channels=6, patch_size=16, batch_size=8, attention_impl="xla",
+                 remat=remat)
     model = build_model(cfg, 6)
     params = init_params(model, 0, 16)
     tx = make_optimizer()
