@@ -112,15 +112,16 @@ def test_missing_mat_key_lists_available(tmp_path):
         load_hsi(str(p), mat_key="data")
 
 
-def _store(tmp_path, rng, h=20, w=20, c=4):
+def _store(tmp_path, rng, h=20, w=20, c=4, n=1):
     import scipy.io as sio
 
     from sshslie_tpu.data.datasets import CubeStore
 
     d = tmp_path / "train"
     d.mkdir(exist_ok=True)
-    sio.savemat(str(d / "c0.mat"),
-                {"data": (rng.rand(h, w, c) * 100).astype(np.float32)})
+    for i in range(n):
+        sio.savemat(str(d / f"c{i}.mat"),
+                    {"data": (rng.rand(h, w, c) * 100).astype(np.float32)})
     return CubeStore(str(d), normalization="self")
 
 
@@ -182,7 +183,9 @@ def test_fit_rejects_indivisible_batch_on_mesh(tmp_path, rng):
     cfg.finalize()
     trainer = Trainer(cfg, channels=4, mesh=make_mesh("2"))
     with pytest.raises(ValueError, match="not divisible by data-parallel"):
-        trainer.fit(_store(tmp_path, rng), ckpt_dir=str(tmp_path / "ck"))
+        # n=3 cubes: one full batch per epoch, so the zero-step guard
+        # (PARITY #23) stays quiet and the mesh check is what fires.
+        trainer.fit(_store(tmp_path, rng, n=3), ckpt_dir=str(tmp_path / "ck"))
 
 
 def test_make_mesh_rejects_3d_without_names():

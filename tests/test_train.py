@@ -258,8 +258,9 @@ def test_checkpoint_best_off_by_default(tmp_path, rng):
     os.chdir(tmp_path)
     try:
         os.makedirs("cubes", exist_ok=True)
-        sio.savemat("cubes/c0.mat",
-                    {"data": (rng.rand(24, 24, 6) * 4000).astype(np.float32)})
+        for i in range(2):
+            sio.savemat(f"cubes/c{i}.mat",
+                        {"data": (rng.rand(24, 24, 6) * 4000).astype(np.float32)})
         from sshslie_tpu.data.datasets import CubeStore
 
         store = CubeStore("cubes", normalization="global_normalization",
@@ -316,8 +317,9 @@ def test_latest_checkpoint_is_byte_copy_of_epoch(tmp_path, rng):
     os.chdir(tmp_path)
     try:
         os.makedirs("cubes", exist_ok=True)
-        sio.savemat("cubes/c0.mat",
-                    {"data": (rng.rand(24, 24, 6) * 4000).astype(np.float32)})
+        for i in range(2):
+            sio.savemat(f"cubes/c{i}.mat",
+                        {"data": (rng.rand(24, 24, 6) * 4000).astype(np.float32)})
         from sshslie_tpu.data.datasets import CubeStore
 
         store = CubeStore("cubes", normalization="global_normalization",
