@@ -4,9 +4,12 @@ compiled memory analysis + measured step time, remat off vs on, at one
 train-step workload.
 
 Remat trades one extra forward of recompute for holding only one
-sub-network's activations live during the backward — the knob that lets
-otherwise-OOM (batch × patch² × channels) configs fit HBM. This prints the
-measured exchange rate:
+sub-network's activations live during the backward — measured 1.7-1.9x
+lower XLA-assigned temp for 1.21-1.28x step time. NOTE the measured
+disposition (docs/PERFORMANCE.md r4 scale sweep): this is a co-residency
+headroom knob, NOT a fit-unlock — XLA:TPU's compile-time squeezer already
+fits oversubscribed programs, faster, and explicit remat can obstruct it
+at the boundary. This prints the measured exchange rate:
 
   python scripts/remat_report.py --batch 8 --patch 128 --channels 64 \
       --precision bfloat16 [--device cpu]
@@ -82,12 +85,12 @@ def main(argv=None):
                          "process — run one arm per process ('--arms "
                          "no_remat', then '--arms remat') around the HBM "
                          "boundary and merge the JSONs")
-    ap.add_argument("--time-arms", default="no_remat,remat",
+    ap.add_argument("--time-arms", default=None,
                     help="comma list of arms to actually step on the device "
-                         "(both by default). Use '--time-arms remat' at "
-                         "workloads whose no-remat arm exceeds HBM: the "
-                         "memory analysis still covers both arms (compile-"
-                         "only), but only the fitting arm executes")
+                         "(default: every arm in --arms). Use '--time-arms "
+                         "remat' at workloads whose no-remat arm exceeds "
+                         "HBM: the memory analysis still covers both arms "
+                         "(compile-only), but only the fitting arm executes")
     ap.add_argument("--device", default="",
                     help="'cpu' forces the CPU backend (memory analysis "
                          "only there — CPU numbers are not HBM)")
@@ -110,12 +113,17 @@ def main(argv=None):
                     f"{args.precision}",
         "backend": jax.default_backend(),
     }
-    time_arms = {t.strip() for t in args.time_arms.split(",") if t.strip()}
     arms = {t.strip() for t in args.arms.split(",") if t.strip()}
+    time_arms = (arms if args.time_arms is None else
+                 {t.strip() for t in args.time_arms.split(",") if t.strip()})
     unknown = (time_arms | arms) - {"no_remat", "remat"}
     if unknown:
         ap.error(f"--time-arms/--arms: unknown arm(s) {sorted(unknown)} "
                  "(valid: no_remat, remat)")
+    untimeable = time_arms - arms
+    if untimeable and not args.skip_timing:
+        ap.error(f"--time-arms {sorted(untimeable)} not in --arms "
+                 f"{sorted(arms)}: an arm must be built to be timed")
     for arm, remat in (("no_remat", False), ("remat", True)):
         if arm not in arms:
             continue

@@ -208,14 +208,16 @@ _ENUM_FIELDS: dict[str, tuple] = {
 # int-valued keys that also accept the literal 'auto' (resolved at fit time).
 _INT_OR_AUTO_FIELDS = ("fused_window",)
 
-# Must be >= 1: a zero here silently degrades a run (0 epochs trains nothing
-# then the test phase dies on the missing checkpoint; 0-cadence would
-# ZeroDivisionError mid-run). Keys with meaningful zeros (checkpoint_keep,
-# log_every_step, freeze_decom_epochs, seed_value) are deliberately absent.
+# Must be >= 1: a zero here genuinely breaks a run (0 epochs trains nothing
+# then the test phase dies on the missing checkpoint; batch_size 0
+# ZeroDivisionErrors; 0-cadence modulos ZeroDivisionError mid-run). Keys
+# whose zeros are meaningful (checkpoint_keep, log_every_step,
+# freeze_decom_epochs, seed_value) or safely clamped downstream
+# (prefetch_batches, eval_batch, steps_per_dispatch, grad_accum_steps) are
+# deliberately absent.
 _POSITIVE_INT_FIELDS = (
     "batch_size", "patch_size", "epoch", "eval_every_epoch",
-    "plot_every_epoch", "prefetch_batches", "steps_per_dispatch",
-    "grad_accum_steps", "eval_batch",
+    "plot_every_epoch",
 )
 
 

@@ -996,6 +996,28 @@ class Trainer:
             print(f"Best checkpoint updated: epoch {best['ep']} "
                   f"(PSNR {best['psnr']:.4f})")
 
+        def _save_epoch_ckpt(ep: int, label: str = "Checkpoint") -> None:
+            """Epoch file + latest byte-copy + retention prune (process 0).
+
+            Single-writer: every process holds identical replicated state,
+            but concurrent writes to a shared checkpoint dir would tear the
+            .tmp files and race prune's os.remove. latest = byte-copy of the
+            epoch file: skips the second device fetch + msgpack serialize
+            (the fetch crosses the d2h link; the copy is pure host I/O with
+            the same atomic-rename crash guarantees)."""
+            if jax.process_index() != 0:
+                return
+            saved = checkpoints.save_checkpoint(
+                checkpoints.epoch_path(ckpt_dir, ep),
+                self.state.params, self.state.opt_state, ep,
+            )
+            latest = checkpoints.copy_checkpoint(
+                saved, checkpoints.latest_path(ckpt_dir)
+            )
+            print(f"{label} saved at {latest}")
+            if cfg.checkpoint_keep > 0:
+                checkpoints.prune_checkpoints(ckpt_dir, cfg.checkpoint_keep)
+
         def _drain_evals(block: bool) -> None:
             remaining = []
             for ep, fut in pending_evals:
@@ -1225,25 +1247,7 @@ class Trainer:
                                     self, eval_store, eval_result_dir, epoch + 1, label_dir
                                 ),
                             )
-                    if jax.process_index() == 0:
-                        # Single-writer: every process holds identical
-                        # replicated state, but concurrent writes to a shared
-                        # checkpoint dir would tear the .tmp files and race
-                        # prune's os.remove.
-                        saved = checkpoints.save_checkpoint(
-                            checkpoints.epoch_path(ckpt_dir, epoch + 1),
-                            self.state.params, self.state.opt_state, epoch + 1,
-                        )
-                        # latest = byte-copy of the epoch file: skips the
-                        # second device fetch + msgpack serialize (the fetch
-                        # crosses the d2h link; the copy is pure host I/O
-                        # with the same atomic-rename crash guarantees).
-                        latest = checkpoints.copy_checkpoint(
-                            saved, checkpoints.latest_path(ckpt_dir)
-                        )
-                        print(f"Checkpoint saved at {latest}")
-                        if cfg.checkpoint_keep > 0:
-                            checkpoints.prune_checkpoints(ckpt_dir, cfg.checkpoint_keep)
+                    _save_epoch_ckpt(epoch + 1)
                     # After the epoch file lands: sync evals recorded their
                     # scores above, so the best copy can happen now.
                     _sync_best()
@@ -1278,19 +1282,9 @@ class Trainer:
             # missing model_epoch_latest. Completed training is never lost
             # here: write the final epoch's checkpoint when the cadence
             # didn't already cover it.
-            if (jax.process_index() == 0 and not self._stop_requested
-                    and cfg.epoch > start_epoch
+            if (not self._stop_requested and cfg.epoch > start_epoch
                     and cfg.epoch % cfg.eval_every_epoch != 0):
-                saved = checkpoints.save_checkpoint(
-                    checkpoints.epoch_path(ckpt_dir, cfg.epoch),
-                    self.state.params, self.state.opt_state, cfg.epoch,
-                )
-                latest = checkpoints.copy_checkpoint(
-                    saved, checkpoints.latest_path(ckpt_dir)
-                )
-                print(f"Final checkpoint saved at {latest}")
-                if cfg.checkpoint_keep > 0:
-                    checkpoints.prune_checkpoints(ckpt_dir, cfg.checkpoint_keep)
+                _save_epoch_ckpt(cfg.epoch, label="Final checkpoint")
 
         finally:
             # Always restore the original signal handlers — a mid-train

@@ -156,15 +156,16 @@ def test_positive_int_fields_validated_at_load(tmp_path):
     import yaml
 
     for key, bad in (("epoch", 0), ("batch_size", 0), ("patch_size", -1),
-                     ("eval_every_epoch", 0), ("steps_per_dispatch", 0),
-                     ("grad_accum_steps", 0), ("eval_batch", 0)):
+                     ("eval_every_epoch", 0), ("plot_every_epoch", 0)):
         p = tmp_path / f"{key}.yml"
         yaml.safe_dump({key: bad}, open(p, "w"))
         with pytest.raises(ValueError, match=key):
             load_config(str(p))
-    # meaningful zeros stay legal
+    # meaningful or safely-clamped zeros stay legal (back-compat: these
+    # loaded and ran before the validation existed)
     p = tmp_path / "ok.yml"
     yaml.safe_dump({"checkpoint_keep": 0, "log_every_step": 0,
-                    "freeze_decom_epochs": 0, "seed_value": 0}, open(p, "w"))
+                    "freeze_decom_epochs": 0, "seed_value": 0,
+                    "prefetch_batches": 0, "eval_batch": 0}, open(p, "w"))
     cfg = load_config(str(p))
-    assert cfg.checkpoint_keep == 0 and cfg.log_every_step == 0
+    assert cfg.checkpoint_keep == 0 and cfg.prefetch_batches == 0
