@@ -109,3 +109,34 @@ def test_fused_step_with_pallas_paths():
         losses[impl] = total
     np.testing.assert_allclose(losses["pallas"], losses["xla"],
                                rtol=5e-4, atol=5e-5)
+
+
+def test_remat_step_on_tpu():
+    """The rematerialized step lowered for the real backend: compiles, runs,
+    loss finite and equal to the non-remat step on the same state/batch
+    (remat recomputes the same ops — jit-rounding tolerance only)."""
+    from sshslie_tpu.config import Config
+    from sshslie_tpu.train import (
+        TrainState, build_model, init_params, loss_coeffs, make_optimizer,
+        make_train_step,
+    )
+
+    rng = np.random.default_rng(5)
+    batch = jnp.asarray(rng.random((2, 128, 128, 64)) * 0.2, jnp.float32)
+    losses = {}
+    for remat in (False, True):
+        cfg = Config(channels=64, patch_size=128, batch_size=2,
+                     attention_impl="xla", remat=remat)
+        cfg.finalize()
+        model = build_model(cfg, cfg.channels)
+        params = init_params(model, cfg.seed_value, cfg.patch_size)
+        tx = make_optimizer()
+        state = TrainState(params=params, opt_state=tx.init(params),
+                           step=jnp.zeros((), jnp.int32))
+        step = make_train_step(model, tx, loss_coeffs(cfg))
+        state, terms = step(state, batch, jnp.float32(1e-4))
+        total = float(terms["total_loss"])
+        assert np.isfinite(total)
+        losses[remat] = total
+    np.testing.assert_allclose(losses[True], losses[False],
+                               rtol=5e-4, atol=5e-5)
