@@ -4,8 +4,8 @@ compiled memory analysis + measured step time, remat off vs on, at one
 train-step workload.
 
 Remat trades one extra forward of recompute for holding only one
-sub-network's activations live during the backward — measured 1.7-1.9x
-lower XLA-assigned temp for 1.21-1.28x step time. NOTE the measured
+sub-network's activations live during the backward — measured 1.3-1.9x
+lower XLA-assigned temp for 1.2-1.3x step time. NOTE the measured
 disposition (docs/PERFORMANCE.md r4 scale sweep): this is a co-residency
 headroom knob, NOT a fit-unlock — XLA:TPU's compile-time squeezer already
 fits oversubscribed programs, faster, and explicit remat can obstruct it

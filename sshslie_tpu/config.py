@@ -97,7 +97,7 @@ class Config:
     matmul_precision: str = ""            # '' = backend default (bf16 MXU passes on TPU) | 'tensorfloat32' | 'float32'/'highest'
     attention_impl: str = "auto"          # 'auto' | 'xla' | 'pallas' | 'chunked'
     conv_impl: str = "auto"               # 'auto'|'xla'|'pallas'|'pallas_dgrad': shallow-conv kernel path (ops/conv_pallas.py; measured dispositions in docs/PERFORMANCE.md r4)
-    remat: bool = False                   # per-sub-network jax.checkpoint: 1.7-1.9x lower assigned temp HBM for 1.21-1.28x step time — headroom for co-resident device state, NOT a fit-unlock (docs/PERFORMANCE.md r4)
+    remat: bool = False                   # per-sub-network jax.checkpoint: 1.3-1.9x lower assigned temp HBM for 1.2-1.3x step time — headroom for co-resident device state, NOT a fit-unlock (docs/PERFORMANCE.md r4)
     use_attention: bool = False           # SEBlock variant (reference model.py:122,130-131)
     use_transformer: bool = True          # TransformerBlock variant (reference default)
     mesh_shape: str = ""                  # e.g. '8' or '4x2'; '' = all local devices, 1-D data mesh

@@ -35,8 +35,8 @@ class LowLightEnhanceNet(nn.Module):
         # pass instead of keeping them live across the whole step. The three
         # applications (decom(low) → illum → decom(S)) are sequential, so
         # per-sub-network checkpointing caps live residuals at one
-        # sub-network's worth (measured 1.7-1.9x lower XLA-assigned temp for
-        # 1.21-1.28x step time — a co-residency headroom knob, NOT a
+        # sub-network's worth (measured 1.3-1.9x lower XLA-assigned temp for
+        # 1.2-1.3x step time — a co-residency headroom knob, NOT a
         # fit-unlock: docs/PERFORMANCE.md r4 scale sweep). Lifted transform:
         # the parameter tree is
         # unchanged (tests/test_train.py enforces), so checkpoints are
