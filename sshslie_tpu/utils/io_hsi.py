@@ -120,23 +120,52 @@ def load_hsi(
     )
 
 
+# HDF5 file signature (the v7.3 .mat container). h5py.is_hdf5 takes only
+# filesystem paths, so in-memory dispatch checks the magic directly.
+_HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
+
+
 def load_hsi_bytes(body: bytes, mat_key: str = "data") -> np.ndarray:
     """Parse an in-memory ``.mat`` payload (v7 via scipy, v7.3 via h5py on a
     BytesIO) with the same dispatch and key-missing diagnostics as
-    :func:`load_hsi`; no normalization. Used by the serving HTTP layer."""
+    :func:`load_hsi`; no normalization. Used by the serving HTTP layer.
+
+    This parses UNTRUSTED wire bytes: every malformed-payload failure is
+    normalized to ValueError (→ HTTP 400 in serve.py), never a raw
+    scipy/h5py exception type the HTTP layer would map to a 5xx. A missing
+    variable stays KeyError (also a 400, with the available keys)."""
     import io as _io
 
     try:
         mat = sio.loadmat(_io.BytesIO(body))
-    except (NotImplementedError, ValueError):
-        return np.asarray(_load_mat_v73(_io.BytesIO(body), mat_key),
-                          dtype=np.float32)
+    except Exception as e:  # scipy raises several types on crafted input
+        if body[: len(_HDF5_MAGIC)] == _HDF5_MAGIC:
+            try:
+                return np.asarray(_load_mat_v73(_io.BytesIO(body), mat_key),
+                                  dtype=np.float32)
+            except KeyError:
+                raise
+            except Exception as e73:  # truncated/crafted HDF5
+                raise ValueError(
+                    f"unreadable v7.3 .mat payload "
+                    f"({type(e73).__name__}: {e73})"
+                )
+        raise ValueError(
+            f"body is not a readable .mat payload ({type(e).__name__}: {e})"
+        )
     if mat_key not in mat:
         raise KeyError(
             f"variable {mat_key!r} not found; available: "
             f"{[k for k in mat if not k.startswith('__')]}"
         )
-    return np.asarray(mat[mat_key], dtype=np.float32)
+    try:
+        return np.asarray(mat[mat_key], dtype=np.float32)
+    except (TypeError, ValueError) as e:
+        # MATLAB cell/object/char variables don't coerce to a float cube.
+        raise ValueError(
+            f"variable {mat_key!r} is not a numeric cube "
+            f"({type(e).__name__}: {e})"
+        )
 
 
 def split_cube_spec(spec: str) -> Tuple[str, str]:

@@ -81,12 +81,23 @@ def test_plots_render(tmp_path):
         "total_loss", "L_reconstruction", "L_R_fidelity", "L_I_smooth_low",
         "L_I_smooth_delta", "L_fourier", "L_spectral_cons")}
     obs.plot_loss_curve(losses, str(tmp_path / "loss.png"))
+    obs.drain()  # plots render on a worker thread by default
     assert (tmp_path / "loss.png").exists()
     obs.plot_eval_metrics(
         {100: {"psnr": 30.0, "ssim": 0.9, "sam": 0.1},
          200: {"psnr": 31.0, "ssim": 0.92, "sam": 0.09}},
         str(tmp_path / "eval.png"))
+    obs.drain()
     assert (tmp_path / "eval.png").exists()
+
+
+def test_plots_sync_mode(tmp_path):
+    obs = RunObserver(async_plots=False)
+    losses = {k: [1.0, 0.5] for k in (
+        "total_loss", "L_reconstruction", "L_R_fidelity", "L_I_smooth_low",
+        "L_I_smooth_delta", "L_fourier", "L_spectral_cons")}
+    obs.plot_loss_curve(losses, str(tmp_path / "loss.png"))
+    assert (tmp_path / "loss.png").exists()
 
 
 def test_prune_checkpoints(tmp_path):

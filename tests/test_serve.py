@@ -784,7 +784,9 @@ def test_deflate_bound_clamped_against_giant_declared_shape(monkeypatch):
     headers = {"X-Cube-Encoding": "f32",
                "X-Cube-Shape": "100000x100000x224",  # declares ~9 PB
                "Content-Encoding": "deflate"}
-    with pytest.raises(ValueError, match="bound"):
+    # Since r5 the shape-product cap rejects this before any inflation at
+    # all (even stronger than the clamped bound this test originally pinned).
+    with pytest.raises(ValueError, match="body cap"):
         decode_cube_response(bomb, headers)
 
 

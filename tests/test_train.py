@@ -249,6 +249,96 @@ def test_checkpoint_best_tracks_eval_psnr(tmp_path, rng, use_async):
         os.chdir(cwd)
 
 
+def test_checkpoint_best_rearms_after_prune(tmp_path, rng):
+    """ADVICE r4: when the winning epoch's file was pruned before its
+    deferred best-copy, the tracker must fall back to the last epoch
+    actually on disk — so a LATER epoch that beats the on-disk best (but not
+    the pruned maximum) still refreshes model_epoch_best. Forced
+    deterministically: eval-1 (PSNR 10, the run maximum) deletes its own
+    epoch file before returning (standing in for an aggressive
+    checkpoint_keep prune); eval-3 (PSNR 7) beats everything still on disk
+    and must be copied. checkpoint_async=false keeps every save inline so
+    the drain ordering is reproducible."""
+    import time
+    import scipy.io as sio
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        os.makedirs("cubes", exist_ok=True)
+        for i in range(2):
+            sio.savemat(f"cubes/c{i}.mat",
+                        {"data": (rng.rand(24, 24, 6) * 4000).astype(np.float32)})
+        from sshslie_tpu.data.datasets import CubeStore
+
+        store = CubeStore("cubes", normalization="global_normalization",
+                          global_min=0.0, global_max=4095.0)
+        cfg = _tiny_cfg(epoch=4, eval_every_epoch=1, checkpoint_best=True,
+                        async_eval=True, checkpoint_async=False,
+                        global_min=0.0, global_max=4095.0)
+        trainer = Trainer(cfg, channels=6)
+        psnr_by_epoch = {1: 10.0, 2: 5.0, 3: 7.0, 4: 2.0}
+
+        def fake_evaluator(view, eval_store, out_dir, epoch, label_dir):
+            if epoch == 1:
+                # Wait for the (inline) save, then delete it — by the time
+                # this score is drained, the winning file is gone.
+                deadline = time.time() + 30
+                path = checkpoints.epoch_path("ck", 1)
+                while time.time() < deadline and not os.path.exists(path):
+                    time.sleep(0.01)
+                os.remove(path)
+            return {"psnr": psnr_by_epoch[epoch], "ssim": 0.5, "sam": 0.1}
+
+        trainer.fit(store, eval_store=store, evaluator=fake_evaluator,
+                    ckpt_dir="ck", eval_result_dir="ev")
+        best = checkpoints.best_path("ck")
+        # The pruned-epoch miss must not wedge the tracker at PSNR 10: a best
+        # file exists and points at an epoch that was on disk when copied.
+        assert os.path.exists(best), "best tracker wedged on a pruned epoch"
+        _, _, ep = checkpoints.load_checkpoint(
+            best, trainer.state.params, trainer.state.opt_state)
+        assert ep in (3, 4)  # 3 when eval-1 recorded early; never the pruned 1
+    finally:
+        os.chdir(cwd)
+
+
+def test_async_checkpoint_matches_sync(tmp_path, rng):
+    """checkpoint_async (default) must write byte-identical checkpoints to
+    the synchronous path: same deterministic trajectory, fetched at the same
+    epoch boundaries, drained before fit returns."""
+    import scipy.io as sio
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        os.makedirs("cubes", exist_ok=True)
+        for i in range(2):
+            sio.savemat(f"cubes/c{i}.mat",
+                        {"data": (rng.rand(24, 24, 6) * 4000).astype(np.float32)})
+        from sshslie_tpu.data.datasets import CubeStore
+
+        def run(tag, async_on):
+            store = CubeStore("cubes", normalization="global_normalization",
+                              global_min=0.0, global_max=4095.0)
+            cfg = _tiny_cfg(epoch=2, eval_every_epoch=1,
+                            checkpoint_async=async_on,
+                            global_min=0.0, global_max=4095.0)
+            trainer = Trainer(cfg, channels=6)
+            trainer.fit(store, ckpt_dir=f"ck_{tag}")
+            return f"ck_{tag}"
+
+        d_async = run("async", True)
+        d_sync = run("sync", False)
+        for name in ("model_epoch_1.ckpt", "model_epoch_2.ckpt",
+                     "model_epoch_latest.ckpt"):
+            with open(os.path.join(d_async, name), "rb") as fa, \
+                    open(os.path.join(d_sync, name), "rb") as fs:
+                assert fa.read() == fs.read(), name
+    finally:
+        os.chdir(cwd)
+
+
 def test_checkpoint_best_off_by_default(tmp_path, rng):
     """Without checkpoint_best, no best file appears (the reference's layout
     has exactly model_epoch_N + model_epoch_latest; reference model.py:330-331)."""
