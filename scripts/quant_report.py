@@ -30,6 +30,13 @@ def main(argv=None):
     ap.add_argument("--global_min", type=float, default=0.0)
     ap.add_argument("--global_max", type=float, default=4095.0)
     ap.add_argument("--fmt", default="int8,fp8,int4")
+    ap.add_argument("--calibration", default="auto",
+                    choices=["auto", "absmax", "mse", "output"],
+                    help="clip-scale calibration (auto = output-aware for "
+                         "int4, absmax otherwise)")
+    ap.add_argument("--calib_data", default="",
+                    help="held-out cubes for output-aware calibration "
+                         "(default: the --data cubes)")
     ap.add_argument("--use_transformer", default="true",
                     help="must match the checkpoint's architecture")
     ap.add_argument("--use_attention", default="false",
@@ -62,10 +69,19 @@ def main(argv=None):
         args.data, mat_key=args.mat_key, normalization=args.normalization,
         global_min=args.global_min, global_max=args.global_max,
     )
+    calib_cubes = None
+    if args.calib_data:
+        calib_cubes = CubeStore(
+            args.calib_data, mat_key=args.mat_key,
+            normalization=args.normalization,
+            global_min=args.global_min, global_max=args.global_max,
+        ).cubes
     report = {"checkpoint": args.checkpoint, "files": store.basenames()}
     for fmt in args.fmt.split(","):
         fmt = fmt.strip()
-        r = quantization_impact(model, params, store.cubes, fmt)
+        r = quantization_impact(model, params, store.cubes, fmt,
+                                calibration=args.calibration,
+                                calib_cubes=calib_cubes)
         report[fmt] = {k: v for k, v in r.items() if k != "fmt"}
     print(json.dumps(report, indent=2))
 

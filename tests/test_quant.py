@@ -162,6 +162,57 @@ def test_quant_report_cli(tmp_path, small_model, rng):
     assert out["int8"]["psnr_vs_fp32_avg"] > 30.0
 
 
+def test_mse_calibration_reduces_weight_error(rng):
+    """Weight-space MSE calibration must never increase per-tensor weight
+    reconstruction error (its grid includes the absmax point r=1.0)."""
+    from sshslie_tpu.ops.quant import dequantize_array
+
+    w = (rng.randn(3, 3, 8, 16) * (1 + 4 * (rng.rand(3, 3, 8, 16) > 0.99))
+         ).astype(np.float32)  # heavy-tailed: outliers make clipping pay
+    w_j = jnp.asarray(w)
+    err_absmax = float(jnp.sum(jnp.square(
+        dequantize_array(quantize_array(w_j, "int4", "absmax")) - w_j)))
+    err_mse = float(jnp.sum(jnp.square(
+        dequantize_array(quantize_array(w_j, "int4", "mse")) - w_j)))
+    assert err_mse <= err_absmax
+    assert err_mse < 0.9 * err_absmax  # outliers present → real reduction
+
+
+def test_output_calibration_never_worse(small_model, rng):
+    """Output-aware calibration's grid includes absmax and keeps only
+    improvements, so calibrated int4 output PSNR >= absmax PSNR."""
+    model, params = small_model
+    cubes = [(rng.rand(24, 24, 6) * 0.8).astype(np.float32) for _ in range(2)]
+    base = quantization_impact(model, params, cubes, "int4",
+                               calibration="absmax")
+    cal = quantization_impact(model, params, cubes, "int4",
+                              calibration="output")
+    assert cal["calibration"] == "output"
+    assert cal["psnr_vs_fp32_avg"] >= base["psnr_vs_fp32_avg"] - 1e-6
+    # auto resolves to output for int4 (and to absmax for int8)
+    auto8 = quantization_impact(model, params, cubes, "int8")
+    assert auto8["calibration"] == "absmax"
+
+
+def test_calibrate_quantize_tree_ratios(small_model, rng):
+    from sshslie_tpu.ops.quant import calibrate_quantize_tree
+
+    model, params = small_model
+    cubes = [(rng.rand(24, 24, 6) * 0.8).astype(np.float32)]
+    qtree, stats, ratios = calibrate_quantize_tree(model, params, cubes, "int4")
+    assert stats["tensors_quantized"] == len(ratios) > 10
+    assert all(0.5 <= r <= 1.0 for r in ratios.values())
+    # the calibrated tree still round-trips through the normal dequant path
+    back = dequantize_tree(qtree)
+    assert jax.tree_util.tree_structure(back) == jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(lambda x: x, dict(params)))
+
+
+def test_quantize_unknown_calibration():
+    with pytest.raises(ValueError):
+        quantize_array(jnp.ones((8, 8)), "int4", "percentile")
+
+
 def test_quantize_denormal_amax_stays_finite():
     """A tiny-but-positive channel amax must not underflow the scale to 0 —
     w/scale would be inf and the fp8 cast emits NaN weights that poison

@@ -245,3 +245,25 @@ def test_library_quickstart_example(tmp_path):
     assert "restored epoch 4" in proc.stdout
     assert "int8 vs fp32" in proc.stdout
     assert "enhanced vs GT" in proc.stdout
+
+
+def test_bench_gate(tmp_path):
+    """bench_gate: PASS on a historical result, FAIL (exit 1) on a degraded
+    one, exit 2 when the result has no comparable metric. Gated against the
+    committed BENCH_r*.json history; --json path, no TPU."""
+    import json
+
+    gate = _load_script("bench_gate")
+    repo = os.path.dirname(SCRIPTS)
+    hist = os.path.join(repo, "BENCH_r04.json")
+    assert gate.main(["--json", hist]) == 0
+
+    rec = json.load(open(hist))["parsed"]
+    rec["value"] *= 0.9
+    bad = tmp_path / "degraded.json"
+    bad.write_text(json.dumps(rec))
+    assert gate.main(["--json", str(bad)]) == 1
+
+    empty = tmp_path / "empty.json"
+    empty.write_text(json.dumps({"metric": "hsi_train_throughput"}))
+    assert gate.main(["--json", str(empty)]) == 2
