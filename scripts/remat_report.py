@@ -91,6 +91,15 @@ def main(argv=None):
                          "remat' at workloads whose no-remat arm exceeds "
                          "HBM: the memory analysis still covers both arms "
                          "(compile-only), but only the fitting arm executes")
+    ap.add_argument("--coresident-mb", type=int, default=0,
+                    help="hold an N-MB device-resident buffer for the whole "
+                         "arm (compile + timing) — models fused_window cube "
+                         "stacks / co-located serving buckets sharing HBM "
+                         "with the step. A runtime RESOURCE_EXHAUSTED is a "
+                         "result ({'runtime_oom': true}), not a crash. "
+                         "Run the remat arm FIRST in its own process: the "
+                         "relay's compile service replays same-shape "
+                         "failures (docs/PERFORMANCE.md r4).")
     ap.add_argument("--device", default="",
                     help="'cpu' forces the CPU backend (memory analysis "
                          "only there — CPU numbers are not HBM)")
@@ -113,6 +122,16 @@ def main(argv=None):
                     f"{args.precision}",
         "backend": jax.default_backend(),
     }
+    coresident = None
+    if args.coresident_mb:
+        # Committed to the device before any step work; held (referenced)
+        # until process exit so both compile and execution contend with it.
+        import numpy as np
+
+        coresident = jax.device_put(
+            np.zeros((args.coresident_mb, 1024, 256), np.float32))
+        coresident.block_until_ready()
+        result["coresident_mb"] = args.coresident_mb
     arms = {t.strip() for t in args.arms.split(",") if t.strip()}
     time_arms = (arms if args.time_arms is None else
                  {t.strip() for t in args.time_arms.split(",") if t.strip()})
@@ -135,12 +154,31 @@ def main(argv=None):
             entry.update(mem)
         if (not args.skip_timing and arm in time_arms
                 and not entry.get("compile_oom")):
-            m = bench.measure(args.batch, args.patch, args.channels,
-                              args.steps, args.warmup, args.precision,
-                              args.attention_impl, args.conv_impl,
-                              remat=remat)
-            entry["step_seconds"] = m["step_seconds"]
-            entry["mpb_per_sec"] = m["value"]
+            try:
+                m = bench.measure(args.batch, args.patch, args.channels,
+                                  args.steps, args.warmup, args.precision,
+                                  args.attention_impl, args.conv_impl,
+                                  remat=remat)
+            except Exception as e:
+                # With --coresident-mb the step's temp allocation can
+                # collide with the held buffer at EXECUTION time (compile
+                # assigns against the full HBM; the allocator doesn't).
+                # That collision is the experiment's result.
+                import re
+
+                msg = re.sub(r"\x1b\[[0-9;]*m", "", str(e))
+                if ("RESOURCE_EXHAUSTED" in msg
+                        or "Ran out of memory" in msg
+                        or "Allocation" in msg):
+                    first = next((ln for ln in msg.splitlines()
+                                  if "emory" in ln), msg.splitlines()[0])
+                    entry["runtime_oom"] = True
+                    entry["error"] = first.strip()[:300]
+                else:
+                    raise
+            else:
+                entry["step_seconds"] = m["step_seconds"]
+                entry["mpb_per_sec"] = m["value"]
         result[arm] = entry
 
     a = result.get("no_remat", {})

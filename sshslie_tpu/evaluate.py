@@ -507,11 +507,15 @@ def evaluate_model(
         ):
             filename = os.path.basename(eval_store.files[idx])
             if is_writer:
-                saver.submit(
-                    _save_outputs, cfg, epoch_dir, filename, S, R, I, Id,
-                    cfg.save_reflectance, cfg.save_illumination, cfg.save_i_delta,
-                )
+                # Score BEFORE submitting the save: submit starts the ~67 MB
+                # S device→host fetch on the saver thread, and the relay is a
+                # single ordered stream — metric dispatches issued after it
+                # queue behind the whole transfer (~4.6 s/eval measured,
+                # r5). Scored first, the tiny metric programs round-trip in
+                # milliseconds and the artifact fetch overlaps the next
+                # training epochs instead.
                 if from_memory and label_dir:
+                    S_score = S
                     if isinstance(S, jax.Array) and (
                         len(S.devices()) > 1 or jax.process_count() > 1
                     ):
@@ -519,10 +523,14 @@ def evaluate_model(
                         # host copy on one device — a proc-0-only dispatch of
                         # a multi-device metric program would deadlock the
                         # other processes' collectives.
-                        S = np.asarray(S)
-                    sc = _score_in_memory(filename, S, cfg, label_dir)
+                        S_score = np.asarray(S)
+                    sc = _score_in_memory(filename, S_score, cfg, label_dir)
                     if sc is not None:
                         per_file[filename] = sc
+                saver.submit(
+                    _save_outputs, cfg, epoch_dir, filename, S, R, I, Id,
+                    cfg.save_reflectance, cfg.save_illumination, cfg.save_i_delta,
+                )
     scores = None
     if label_dir and is_writer and from_memory:
         if per_file:

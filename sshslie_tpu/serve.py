@@ -133,9 +133,17 @@ def encode_cube(
 
 
 def decode_cube_response(
-    blob: bytes, headers, mat_key: str = "data"
+    blob: bytes, headers, mat_key: str = "data", raw: bool = False
 ) -> np.ndarray:
     """Inverse of :func:`encode_cube` → float32 (H, W, C) cube.
+
+    ``raw=True`` (u16/bf16 payloads only) skips the host-side float32
+    expansion and returns ``(array, scale, offset)`` with the array still in
+    its compact dtype (uint16 / ml_dtypes.bfloat16; scale/offset are None
+    for bf16). The serving device path uploads that compact array as-is —
+    2 bytes/value over the host↔device link — and dequantizes in-graph
+    (EnhanceService.enhance_encoded). All header/shape/zlib validation is
+    identical to the non-raw path.
 
     ``headers`` is any mapping with ``.get`` — http.client responses AND
     http.server request messages qualify, so this one function is both the
@@ -207,11 +215,10 @@ def decode_cube_response(
     if encoding == "bf16":
         import ml_dtypes
 
-        return (
-            np.frombuffer(blob, dtype=ml_dtypes.bfloat16)
-            .reshape(shape)
-            .astype(np.float32)
-        )
+        xb = np.frombuffer(blob, dtype=ml_dtypes.bfloat16).reshape(shape)
+        if raw:
+            return xb, None, None
+        return xb.astype(np.float32)
     if encoding == "u16":
         import math
 
@@ -233,6 +240,8 @@ def decode_cube_response(
             raise ValueError("X-Cube-Scale/X-Cube-Offset must be finite "
                              f"({scale_hdr!r}, {offset_hdr!r})")
         q = np.frombuffer(blob, dtype="<u2").reshape(shape)
+        if raw:
+            return q, scale, offset
         # float32 in-place affine: peak decode allocation stays ~2× body (q
         # view + out), not the ~4× of a float64 intermediate. Rounding cost
         # is ~1e-7 relative — two orders below the u16 quantization step.
@@ -399,6 +408,7 @@ class EnhanceService:
             raise ValueError("serve_quantize is single-chip only")
         if self.quantize:
             self.params = self._quantized(self.params)
+        self._mesh = mesh
         if mesh is not None:
             self._infer = ShardedInferencer(self.model, mesh, cfg.data_axis)
             # ShardedInferencer pads internally per its mesh; bucket on top.
@@ -420,6 +430,7 @@ class EnhanceService:
         self._device_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self._buckets: set = set()
+        self._encoded_fns: Dict[str, Any] = {}
         self.requests = 0
         self.total_secs = 0.0
         self.max_secs = 0.0
@@ -516,6 +527,105 @@ class EnhanceService:
             meta = np.asarray(jnp.stack([lo, scale]))
         return np.asarray(q).astype(np.float32) * float(meta[1]) + float(meta[0])
 
+    # Normalization modes whose reductions are edge-pad-invariant (padding
+    # replicates existing values, adding no new extrema, so max/min over the
+    # padded cube equal the unpadded ones). per_channel_standardization's
+    # mean/std DO shift under padding — it stays on the host decode path.
+    _PAD_SAFE_NORMS = (None, "", "self", "global_normalization",
+                       "per_channel_normalization")
+
+    @property
+    def accepts_encoded_requests(self) -> bool:
+        """Can binary u16/bf16 request bodies take the device-decode path?
+
+        Single-chip, non-micro-batched services with a pad-invariant
+        normalization only: the micro-batcher stacks host-f32 cubes, a mesh
+        shards them, and standardization must normalize pre-pad."""
+        return (self.batcher is None and self._mesh is None
+                and self.cfg.normalization in self._PAD_SAFE_NORMS)
+
+    def _encoded_fn(self, encoding: str):
+        """Jitted (params, compact_cube, scale, offset) → (R, I, Id, S).
+
+        Dequantization (u16 affine / bf16 cast) and the load-normalization
+        run IN-GRAPH (utils/io_hsi.py::normalize_like_load_jnp), so the
+        host→device transfer moves the client's 2-byte payload instead of a
+        host-expanded f32 cube — on transport-bound links (this container's
+        ~40 MB/s relay, DCN/WAN hosts) that halves the uplink leg the same
+        way _fetch_reduced halves the downlink (reference contract:
+        /root/reference/model.py:442-443, the .mat-in/.mat-out test path).
+        One jit per encoding; shape buckets share it via the jit cache.
+        scale/offset are traced scalars — value changes don't recompile."""
+        import jax
+        import jax.numpy as jnp
+
+        fn = self._encoded_fns.get(encoding)
+        if fn is not None:
+            return fn
+        cfg = self.cfg
+        if self.quantize:
+            from sshslie_tpu.ops.quant import dequantize_tree as _dq
+
+            def apply(p, x):
+                return self.model.apply({"params": _dq(p)}, x)
+        else:
+            def apply(p, x):
+                return self.model.apply({"params": p}, x)
+
+        def run(p, q, scale, offset):
+            x = q.astype(jnp.float32)
+            if encoding == "u16":
+                x = x * scale + offset
+            x = io_hsi.normalize_like_load_jnp(
+                x, cfg.normalization, cfg.global_max, cfg.global_min)
+            R, I, Id, S = apply(p, x[None])
+            return R[0], I[0], Id[0], S[0]
+
+        fn = jax.jit(run)
+        self._encoded_fns[encoding] = fn
+        return fn
+
+    def enhance_encoded(self, q: np.ndarray, encoding: str,
+                        scale: Optional[float] = None,
+                        offset: Optional[float] = None,
+                        artifacts: bool = False,
+                        wire: str = "f32") -> Dict[str, Any]:
+        """Enhance from a compact u16/bf16 request payload (device decode).
+
+        ``q`` is the still-encoded (H, W, C) array from
+        ``decode_cube_response(..., raw=True)``. Results match
+        :meth:`enhance` on the host-dequantized values up to float rounding
+        of the same affine (tests/test_serve.py pins the agreement); the
+        compact array is edge-padded on host (still 2 B/value), uploaded
+        as-is, and dequant + normalization fuse into the forward jit."""
+        import jax
+        import jax.numpy as jnp
+
+        if not self.accepts_encoded_requests:
+            raise ValueError(
+                "device-side encoded requests are unavailable on this "
+                "service (micro-batched, sharded, or pad-sensitive "
+                "normalization) — decode on host and call enhance()")
+        if encoding not in ("u16", "bf16"):
+            raise ValueError(
+                f"enhance_encoded takes u16/bf16 payloads, got {encoding!r}")
+        if q.ndim != 3 or q.shape[-1] != self.channels:
+            raise ValueError(
+                f"expected (H, W, {self.channels}) cube, got {q.shape}")
+        h, w, _ = q.shape
+        bh, bw = self._bucket(h, w)
+        if (bh, bw) != (h, w):
+            q = np.pad(q, ((0, bh - h), (0, bw - w), (0, 0)), mode="edge")
+        fn = self._encoded_fn(encoding)
+        s = np.float32(0.0 if scale is None else scale)
+        o = np.float32(0.0 if offset is None else offset)
+        start = time.time()
+        with self._device_lock:
+            R, I, Id, S = fn(self.params, jnp.asarray(q), s, o)
+            jax.block_until_ready(S)
+        secs = time.time() - start
+        return self._finalize(R, I, Id, S, h, w, bh, bw, secs, wire, artifacts)
+
     def enhance(self, cube: np.ndarray, artifacts: bool = False,
                 wire: str = "f32") -> Dict[str, Any]:
         """Enhance one raw (H, W, C) cube: normalize → forward → denormalize.
@@ -549,6 +659,12 @@ class EnhanceService:
         # Timed region = device compute only (the round-3 X-Inference-Seconds
         # contract); the d2h fetch below is transport, reported by clients.
         secs = time.time() - start
+        return self._finalize(R, I, Id, S, h, w, bh, bw, secs, wire, artifacts)
+
+    def _finalize(self, R, I, Id, S, h, w, bh, bw, secs, wire, artifacts):
+        """Shared post-forward tail for both request paths: reduced-precision
+        (or f32) d2h fetch, denormalization, artifact fetches, stats."""
+        cfg = self.cfg
         if wire in ("bf16", "u16"):
             S = self._fetch_reduced(S, wire, h, w)
         else:
@@ -857,15 +973,29 @@ def _make_handler(service: EnhanceService):
                 return
             body = self.rfile.read(length)
             try:
-                # Request bodies default to .mat; clients on slow uplinks can
-                # instead POST binary cubes (f32/bf16/u16, optionally
-                # deflated) with the same X-Cube-* headers the responses use
-                # — decode_cube_response handles both directions.
-                cube = decode_cube_response(body, self.headers, mat_key=key)
                 # bf16/u16 responses also fetch device→host at 2 bytes/value
                 # (the d2h link is the latency on slow transports).
                 wire = encoding if encoding in ("bf16", "u16") else "f32"
-                result = service.enhance(cube, artifacts=artifacts, wire=wire)
+                req_enc = self.headers.get("X-Cube-Encoding", "mat")
+                if (req_enc in ("u16", "bf16")
+                        and service.accepts_encoded_requests):
+                    # Compact request payloads skip the host f32 expansion:
+                    # the 2-byte array uploads as-is and dequantizes
+                    # in-graph — halves the h2d leg on slow transports.
+                    q, scale, offset = decode_cube_response(
+                        body, self.headers, mat_key=key, raw=True)
+                    result = service.enhance_encoded(
+                        q, req_enc, scale, offset,
+                        artifacts=artifacts, wire=wire)
+                else:
+                    # Request bodies default to .mat; clients on slow uplinks
+                    # can instead POST binary cubes (f32/bf16/u16, optionally
+                    # deflated) with the same X-Cube-* headers the responses
+                    # use — decode_cube_response handles both directions.
+                    cube = decode_cube_response(body, self.headers,
+                                                mat_key=key)
+                    result = service.enhance(cube, artifacts=artifacts,
+                                             wire=wire)
             except (KeyError, ValueError) as e:
                 # str(KeyError) is the repr of its argument — unwrap so the
                 # client sees the message, not a quoted-inside-quoted string.

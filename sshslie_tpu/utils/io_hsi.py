@@ -233,6 +233,58 @@ def normalize_like_load(
     return x
 
 
+def normalize_like_load_jnp(
+    x,
+    normalization: Optional[str],
+    max_val: Optional[float] = None,
+    min_val: Optional[float] = None,
+    rescale_by_max: bool = True,
+):
+    """:func:`normalize_like_load` in jnp, for in-graph use (device-side
+    request decode, serve.py): the server uploads a client's compact
+    u16/bf16 payload as-is (2 bytes/value over the host↔device link — the
+    bottleneck on relay/DCN transports) and dequantization + this
+    normalization fuse into the forward's first ops.
+
+    Same semantics as the host version, including the reference
+    divide-by-own-max quirk (utils.py:57) and the global-normalization
+    negative clamp. NOTE for padded inputs: 'self', 'global_normalization'
+    and 'per_channel_normalization' are edge-pad-invariant (replicated
+    values add no new extrema), 'per_channel_standardization' is NOT (mean/
+    std shift) — callers that pad first must route that mode to the host
+    path."""
+    import jax.numpy as jnp
+
+    if normalization is None or normalization == "":
+        return x
+    if normalization == "self":
+        x = x / jnp.max(x)
+    elif normalization == "global_normalization":
+        if max_val is None:
+            raise ValueError("max value is not provided for global normalization")
+        lo = 0.0 if min_val is None else min_val
+        if lo > max_val:
+            raise ValueError("min value cannot be larger than the max value")
+        x = (x - lo) / (max_val - lo)
+        x = jnp.maximum(x, 0.0)
+    elif normalization == "per_channel_normalization":
+        min_vals = jnp.min(x, axis=(0, 1), keepdims=True)
+        max_vals = jnp.max(x, axis=(0, 1), keepdims=True)
+        range_vals = jnp.where(max_vals > min_vals, max_vals - min_vals, 1.0)
+        x = (x - min_vals) / range_vals
+    elif normalization == "per_channel_standardization":
+        mean_vals = jnp.mean(x, axis=(0, 1), keepdims=True)
+        std_vals = jnp.std(x, axis=(0, 1), keepdims=True)
+        std_vals = jnp.where(std_vals > 0, std_vals, 1.0)
+        x = (x - mean_vals) / std_vals
+    else:
+        raise NotImplementedError(f"{normalization} is not implemented")
+    x = x.astype(jnp.float32)
+    if rescale_by_max:
+        x = x / jnp.max(x)
+    return x
+
+
 def save_hsi(
     filepath: str,
     data: np.ndarray,

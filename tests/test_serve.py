@@ -648,12 +648,16 @@ def test_binary_request_bodies(server, service):
         resp, body = _post_raw(server, blob, headers)
         assert resp.status == 200, body
         got = decode_cube_response(body, resp.headers)
-        # The jitted forward is deterministic, so the exact expectation is
-        # the .mat-path result on the cube as the server DECODED it (the
-        # only difference is the request encoding's input precision).
+        # The jitted forward is deterministic, so the expectation is the
+        # .mat-path result on the cube as the server DECODED it (the only
+        # difference is the request encoding's input precision). u16/bf16
+        # requests take the DEVICE decode path (enhance_encoded: in-graph
+        # dequant + normalization) — same f32 affine, jnp-vs-np reduction
+        # order, so allow float rounding (measured ≤2.5e-7 relative).
         want = (ref if enc == "f32"
                 else service.enhance(decode_cube_response(blob, headers))["S"])
-        np.testing.assert_allclose(got, want, atol=1e-5)
+        tol = 1e-5 if enc == "f32" else 1e-3
+        np.testing.assert_allclose(got, want, atol=tol, rtol=1e-5)
     # Deflated binary request (Content-Encoding on the way in).
     blob, headers = encode_cube(cube, "f32", compress="zlib")
     resp, body = _post_raw(server, blob, headers)
@@ -811,3 +815,71 @@ def test_reduced_fetch_crops_before_quantizing(service):
     got_bf16 = service._fetch_reduced(jnp.asarray(padded), "bf16", h, w)
     assert got_bf16.shape == (h, w, CHANNELS)
     np.testing.assert_allclose(got_bf16, real, atol=0.01)
+
+
+class TestDeviceDecodedRequests:
+    """Binary u16/bf16 request bodies take the device-decode path (compact
+    upload + in-graph dequant/normalization, serve.py::enhance_encoded) —
+    results must match the host-decode path up to float rounding of the
+    same affine, including on shapes that need bucket padding."""
+
+    def test_accepts_encoded_requests_gating(self, service):
+        assert service.accepts_encoded_requests
+        bcfg = Config(
+            channels=CHANNELS, patch_size=16, global_min=0.0,
+            global_max=4095.0, attention_impl="xla", serve_pad_multiple=16,
+            serve_max_batch=4,
+        ).finalize()
+        batched = EnhanceService(bcfg, CHANNELS)
+        assert not batched.accepts_encoded_requests  # micro-batcher stacks f32
+        if batched.batcher is not None:
+            batched.batcher.close()
+        scfg = Config(
+            channels=CHANNELS, patch_size=16,
+            normalization="per_channel_standardization",
+            attention_impl="xla", serve_pad_multiple=16,
+        ).finalize()
+        std = EnhanceService(scfg, CHANNELS)
+        assert not std.accepts_encoded_requests  # mean/std shift under pad
+
+    def test_enhance_encoded_matches_host_path(self, service):
+        from sshslie_tpu.serve import decode_cube_response, encode_cube
+
+        rng = np.random.RandomState(21)
+        # 20x24 needs edge padding to the 32x32 bucket (pad_multiple 16):
+        # exercises the pad-invariance of the in-graph normalization.
+        cube = (rng.rand(20, 24, CHANNELS) * 4000).astype(np.float32)
+        for enc, tol in (("u16", 0.5), ("bf16", 0.5)):
+            blob, headers = encode_cube(cube, enc)
+            host_vals = decode_cube_response(blob, headers)
+            want = service.enhance(host_vals)["S"]
+            q, scale, offset = decode_cube_response(blob, headers, raw=True)
+            got = service.enhance_encoded(q, enc, scale, offset)["S"]
+            assert got.shape == want.shape
+            # Same affine + normalization, jnp vs np reduction order: float
+            # rounding only (the wire precision itself cancels — both sides
+            # start from the identical encoded payload).
+            np.testing.assert_allclose(got, want, atol=tol, rtol=1e-4)
+
+    def test_enhance_encoded_rejects_bad_inputs(self, service):
+        q = np.zeros((8, 8, CHANNELS), np.uint16)
+        with pytest.raises(ValueError, match="u16/bf16"):
+            service.enhance_encoded(q, "f32", 1.0, 0.0)
+        with pytest.raises(ValueError, match="expected"):
+            service.enhance_encoded(q[..., :-1], "u16", 1.0, 0.0)
+
+    def test_http_binary_request_uses_device_path(self, server, service):
+        """The HTTP handler routes compact bodies through enhance_encoded
+        (counted via the service's jit cache) and the response matches the
+        host-decoded reference."""
+        from sshslie_tpu.serve import decode_cube_response, encode_cube
+
+        rng = np.random.RandomState(22)
+        cube = (rng.rand(24, 24, CHANNELS) * 4000).astype(np.float32)
+        blob, headers = encode_cube(cube, "u16")
+        resp, body = _post_raw(server, blob, headers)
+        assert resp.status == 200, body
+        assert "u16" in service._encoded_fns  # device path actually taken
+        got = decode_cube_response(body, resp.headers)
+        want = service.enhance(decode_cube_response(blob, headers))["S"]
+        np.testing.assert_allclose(got, want, atol=1.0, rtol=1e-3)
