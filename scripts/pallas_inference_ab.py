@@ -33,9 +33,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def chain_ms(fn, params, cube, n_lo: int = 2, n_hi: int = 10) -> float:
