@@ -34,6 +34,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -62,8 +63,11 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--precision", default="float32",
                     choices=["float32", "bfloat16"])
-    ap.add_argument("--repeats", type=int, default=3,
-                    help="best-of-N chain-differenced measurements")
+    ap.add_argument("--repeats", type=int, default=5,
+                    help="median-of-N chain-differenced measurements (median,"
+                         " not min: relay jitter makes individual marginals"
+                         " occasionally NEGATIVE, and min selects exactly"
+                         " those outliers)")
     args = ap.parse_args()
 
     import jax
@@ -99,8 +103,9 @@ def main() -> None:
                             {"params": p["decomposition_net"]}, x))),
             }
             for name, fn in graphs.items():
-                ms = min(chain_ms(fn, params, cube)
-                         for _ in range(args.repeats))
+                ms = statistics.median(
+                    chain_ms(fn, params, cube)
+                    for _ in range(args.repeats))
                 row = {"graph": name, "channels": ch, "impl": impl,
                        "ms": round(ms, 3)}
                 if impl == "xla":
