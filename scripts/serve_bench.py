@@ -130,6 +130,78 @@ def interleaved_wire_case(size, channels, requests_per_enc, encodings):
             "encodings": per_enc}
 
 
+def http_interleaved_case(size, channels, requests_per_arm, arms):
+    """Full HTTP round-trip wire-format A/B against a real in-process server.
+
+    The r4 interleaved case (above) measured the RESPONSE side in-process;
+    this one closes the uplink half (VERDICT r4 #2): each arm is a
+    (request_encoding, response_encoding) pair driven through
+    serve_client.enhance_over_http against a live EnhanceServer — client
+    encode, loopback POST, server decode (device-side for compact u16/bf16
+    bodies when accepts_encoded_requests), TPU forward, response encode,
+    client decode. Arms interleave request-by-request in one session so
+    every arm samples every relay-drift regime (reference contract:
+    /root/reference/model.py:442-443, the .mat-in/.mat-out test path).
+
+    zlib arms are deliberately absent: the synthetic cubes are uniform
+    noise, incompressible by construction — a deflate number here would
+    misrepresent real captures either way."""
+    import serve_client  # scripts/ sibling; sys.path[0] is this file's dir
+
+    from sshslie_tpu.config import Config
+    from sshslie_tpu.serve import EnhanceServer, EnhanceService
+
+    cfg = Config(channels=channels, normalization="global_normalization",
+                 global_min=0.0, global_max=4095.0, serve_max_batch=1)
+    service = EnhanceService(cfg, channels)
+    service.warmup([(size, size)])
+    server = EnhanceServer(service, port=0).start()
+    url = f"http://127.0.0.1:{server.port}"
+    rng = np.random.RandomState(0)
+    cube = (rng.rand(size, size, channels) * 4000.0).astype(np.float32)
+    try:
+        for req_enc, resp_enc in arms:  # prime every path (first-use jits)
+            # Generous timeout: the prime pays any fresh XLA compile under
+            # the device lock, and the relay has measured congestion windows
+            # >300 s (docs/PERFORMANCE.md r5).
+            _, _, wall = serve_client.enhance_over_http(
+                url, cube, request_encoding=req_enc, encoding=resp_enc,
+                timeout=1800.0)
+            print(f"primed {req_enc}/{resp_enc}: {wall:.1f}s", flush=True)
+        lat = {arm: [] for arm in arms}
+        for i in range(requests_per_arm * len(arms)):
+            req_enc, resp_enc = arms[i % len(arms)]
+            result, _, wall = serve_client.enhance_over_http(
+                url, cube, request_encoding=req_enc, encoding=resp_enc,
+                timeout=1800.0)
+            assert result["data"].shape == (size, size, channels)
+            lat[(req_enc, resp_enc)].append(wall)
+            if (i + 1) % len(arms) == 0:
+                print(f"round {(i + 1) // len(arms)}/{requests_per_arm} "
+                      f"done", flush=True)
+    finally:
+        server.shutdown()
+    per_arm = {}
+    for arm in arms:
+        arr = np.sort(np.array(lat[arm]))
+        per_arm["/".join(arm)] = {
+            "latency_p50_ms": round(float(arr[len(arr) // 2]) * 1e3, 1),
+            "latency_p95_ms": round(
+                float(np.percentile(arr, 95, method="higher")) * 1e3, 1),
+        }
+    base_key = ("f32/f32" if "f32/f32" in per_arm
+                else "/".join(arms[0]))
+    base = per_arm[base_key]["latency_p50_ms"]
+    for key in per_arm:
+        per_arm[key][f"speedup_p50_vs_{base_key}"] = round(
+            base / per_arm[key]["latency_p50_ms"], 2)
+    return {"case": "http_wire_interleaved_t1",
+            "requests_per_arm": requests_per_arm,
+            "baseline_arm": base_key,
+            "device_decode_active": service.accepts_encoded_requests,
+            "arms": per_arm}
+
+
 def cold_bucket_case(size, channels):
     """First-request latency at an UNWARMED shape bucket (includes jit
     compile + bucket setup) vs the immediate second request — the number a
@@ -171,6 +243,11 @@ def main(argv=None):
                     help="run --encodings as ONE interleaved session "
                          "(per-request A/B; cancels transport drift) "
                          "instead of back-to-back cases")
+    ap.add_argument("--http", default="",
+                    help="comma list of req:resp encoding pairs (e.g. "
+                         "'mat:mat,f32:f32,u16:u16') — full HTTP round-trip "
+                         "interleaved A/B against a real server; "
+                         "--requests is per arm")
     ap.add_argument("--no_cold", action="store_true",
                     help="skip the cold-bucket case (focused wire-format "
                          "sessions: the +64 bucket compile is minutes of "
@@ -199,6 +276,10 @@ def main(argv=None):
         for kw, label in cases:
             results.append(run_case(kw, args.size, args.channels,
                                     args.requests, th, f"{label}_t{th}"))
+    if args.http:
+        arms = [tuple(p.split(":")) for p in args.http.split(",") if p]
+        results.append(http_interleaved_case(
+            args.size, args.channels, args.requests, arms))
     encs = [e for e in str(args.encodings).split(",") if e]
     if encs and args.interleave:
         results.append(interleaved_wire_case(

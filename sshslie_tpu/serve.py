@@ -116,7 +116,12 @@ def encode_cube(
         lo = float(np.min(cube))
         hi = float(np.max(cube))
         scale = (hi - lo) / 65535.0 or 1.0
-        q = np.round((cube.astype(np.float64) - lo) / scale)
+        # f32 math, same formula as the device-side quantizer
+        # (EnhanceService._fetch_reduced): an f64 intermediate here would
+        # allocate 2x the cube and run ~6x slower for <0.01 LSB of accuracy
+        # (measured 240 ms -> 40 ms at 512^2x64, r5).
+        q = np.round((cube.astype(np.float32, copy=False) - np.float32(lo))
+                     / np.float32(scale))
         blob = np.ascontiguousarray(q, dtype="<u2").tobytes()
         headers["X-Cube-Scale"] = f"{scale:.9e}"
         headers["X-Cube-Offset"] = f"{lo:.9e}"
@@ -125,6 +130,36 @@ def encode_cube(
 
         # level 1: this path exists to cut transport latency — a slow high-
         # ratio compress would just move the bottleneck to the host CPU.
+        blob = zlib.compress(blob, 1)
+        headers["Content-Encoding"] = "deflate"
+    elif compress:
+        raise ValueError(f"unknown compress {compress!r} (choices: zlib)")
+    return blob, headers
+
+
+def encode_cube_prequantized(
+    q: np.ndarray, scale: float, offset: float, compress: str = "",
+) -> Tuple[bytes, Dict[str, str]]:
+    """Wire-encode an ALREADY-quantized uint16 cube (device-side u16 fetch).
+
+    The u16 response fast path: the device quantizes S once
+    (EnhanceService._fetch_reduced raw mode), the denormalization folds into
+    the affine headers (value = q*scale + offset is linear, so
+    denorm(q*s + o) = q*(s*span) + (o*span + gmin)), and the uint16 buffer
+    goes to the wire as-is. Exactly lossless vs the device values — the
+    legacy path (host dequant -> denorm -> encode_cube re-quantization)
+    moved <=1 LSB and burned ~0.4 s of host math per 512^2x64 response.
+    Decodes with the standard :func:`decode_cube_response`."""
+    headers = {
+        "X-Cube-Encoding": "u16",
+        "X-Cube-Shape": "x".join(str(int(d)) for d in q.shape),
+        "X-Cube-Scale": f"{scale:.9e}",
+        "X-Cube-Offset": f"{offset:.9e}",
+    }
+    blob = np.ascontiguousarray(q, dtype="<u2").tobytes()
+    if compress == "zlib":
+        import zlib
+
         blob = zlib.compress(blob, 1)
         headers["Content-Encoding"] = "deflate"
     elif compress:
@@ -431,6 +466,7 @@ class EnhanceService:
         self._stats_lock = threading.Lock()
         self._buckets: set = set()
         self._encoded_fns: Dict[str, Any] = {}
+        self._u16_quant_fns: Dict[Tuple[int, int], Any] = {}
         self.requests = 0
         self.total_secs = 0.0
         self.max_secs = 0.0
@@ -493,39 +529,61 @@ class EnhanceService:
         m = self.pad_multiple
         return _round_up(h, m), _round_up(w, m)
 
-    def _fetch_reduced(self, S, wire: str, h: int, w: int) -> np.ndarray:
-        """Device→host fetch of S at reduced precision → float32 host array.
+    def _fetch_reduced(self, S, wire: str, h: int, w: int,
+                       raw: bool = False):
+        """Device→host fetch of S at reduced precision.
+
+        Returns a float32 host array, or — ``raw=True``, u16 only — the
+        still-quantized ``(uint16 array, scale, offset)`` for the wire
+        passthrough (:func:`encode_cube_prequantized`), skipping the host
+        dequantization entirely.
 
         The cast (bf16) or affine quantization (u16) runs ON DEVICE, so the
         d2h link moves 2 bytes per value instead of 4 — on a slow transport
         (this container's ~45 MB/s relay, DCN, WAN-attached hosts) the
         transfer is the serving bottleneck and this halves it. The client's
         wire encoding then re-encodes losslessly from the already-reduced
-        values (u16 re-quantization moves ≤1 LSB).
+        values (u16 re-quantization moves ≤1 LSB; the raw passthrough is
+        exact).
 
         The bucket padding is cropped to (h, w) ON DEVICE first, so (a) the
         u16 min/max covers only real pixels — network output over the
         edge-replicated pad region must not widen the quantization range —
-        and (b) the d2h bytes cover only real pixels too. These are eager
-        device dispatches, so the method serializes itself on the device
-        lock (callers do NOT hold it here — both request paths release it
-        after the forward)."""
+        and (b) the d2h bytes cover only real pixels too. The whole u16
+        reduction is ONE jitted dispatch (crop + min/max + quantize) — the
+        r4 eager chain paid a relay round-trip per op. Device dispatches
+        serialize on the device lock (callers do NOT hold it here — both
+        request paths release it after the forward); the big d2h fetch
+        happens outside the lock."""
+        import jax
         import jax.numpy as jnp
 
         with self._device_lock:
-            if S.shape[0] != h or S.shape[1] != w:
-                S = S[:h, :w, :]
             if wire == "bf16":
+                if S.shape[0] != h or S.shape[1] != w:
+                    S = S[:h, :w, :]
                 return np.asarray(
                     jnp.asarray(S, jnp.bfloat16)
                 ).astype(np.float32)
-            # u16: device-side min/max + quantize; one 2-scalar meta fetch.
-            lo = jnp.min(S)
-            scale = jnp.maximum((jnp.max(S) - lo) / 65535.0,
-                                jnp.float32(1e-30))
-            q = jnp.round((S - lo) / scale).astype(jnp.uint16)
-            meta = np.asarray(jnp.stack([lo, scale]))
-        return np.asarray(q).astype(np.float32) * float(meta[1]) + float(meta[0])
+            # u16: fused crop + min/max + quantize; one 2-scalar meta fetch.
+            fn = self._u16_quant_fns.get((h, w))
+            if fn is None:
+                def quant(x):
+                    x = jax.lax.slice(x, (0, 0, 0), (h, w, x.shape[2]))
+                    lo = jnp.min(x)
+                    scale = jnp.maximum((jnp.max(x) - lo) / 65535.0,
+                                        jnp.float32(1e-30))
+                    q = jnp.round((x - lo) / scale).astype(jnp.uint16)
+                    return q, jnp.stack([lo, scale])
+
+                fn = jax.jit(quant)
+                self._u16_quant_fns[(h, w)] = fn
+            q, meta = fn(S)
+            meta = np.asarray(meta)
+        qa = np.asarray(q)
+        if raw:
+            return qa, float(meta[1]), float(meta[0])
+        return qa.astype(np.float32) * float(meta[1]) + float(meta[0])
 
     # Normalization modes whose reductions are edge-pad-invariant (padding
     # replicates existing values, adding no new extrema, so max/min over the
@@ -633,7 +691,9 @@ class EnhanceService:
         Returns {'S': cube, 'seconds': t} plus R/I_low/I_delta when
         ``artifacts``. Thread-safe; device work is serialized. ``wire``
         ('f32' | 'bf16' | 'u16') sets the device→host fetch precision of S
-        (see :meth:`_fetch_reduced`); artifacts always fetch f32.
+        (see :meth:`_fetch_reduced`); 'u16_wire' (HTTP u16 responses)
+        returns 'S_wire' — the still-quantized uint16 + affine headers —
+        instead of 'S'. Artifacts always fetch f32.
         """
         import jax
 
@@ -663,19 +723,38 @@ class EnhanceService:
 
     def _finalize(self, R, I, Id, S, h, w, bh, bw, secs, wire, artifacts):
         """Shared post-forward tail for both request paths: reduced-precision
-        (or f32) d2h fetch, denormalization, artifact fetches, stats."""
+        (or f32) d2h fetch, denormalization, artifact fetches, stats.
+
+        ``wire='u16_wire'`` is the HTTP u16-response passthrough: the result
+        carries ``S_wire`` — the device-quantized uint16 cube with the
+        denormalization folded into its affine headers — instead of ``S``,
+        so no 67 MB host dequant/denorm/re-quantize runs at all (exactly
+        lossless vs the device values; see encode_cube_prequantized)."""
         cfg = self.cfg
+        denorm = (cfg.global_min is not None and cfg.global_max is not None)
+        if wire == "u16_wire":
+            q, scale, offset = self._fetch_reduced(S, "u16", h, w, raw=True)
+            if denorm:
+                span = cfg.global_max - cfg.global_min
+                scale, offset = scale * span, offset * span + cfg.global_min
+            self._record_stats(bh, bw, secs)
+            return {"S_wire": {"q": q, "scale": scale, "offset": offset},
+                    "seconds": secs}
         if wire in ("bf16", "u16"):
             S = self._fetch_reduced(S, wire, h, w)
         else:
             S = np.asarray(S)[:h, :w, :]
-        if cfg.global_min is not None and cfg.global_max is not None:
+        if denorm:
             S = S * (cfg.global_max - cfg.global_min) + cfg.global_min
-        out: Dict[str, Any] = {"S": S, "seconds": secs}
+        out = {"S": S, "seconds": secs}
         if artifacts:
             out["R_low"] = np.asarray(R)[:h, :w, :]
             out["I_low"] = np.asarray(I)[:h, :w, :]
             out["I_delta"] = np.asarray(Id)[:h, :w, :]
+        self._record_stats(bh, bw, secs)
+        return out
+
+    def _record_stats(self, bh, bw, secs) -> None:
         with self._stats_lock:
             self.requests += 1
             self.total_secs += secs
@@ -683,7 +762,6 @@ class EnhanceService:
             self._buckets.add((bh, bw))
             i = bisect.bisect_left(_LATENCY_BUCKETS, secs)
             self._hist[i] += 1
-        return out
 
     def warmup(self, shapes: Sequence[Tuple[int, int]]) -> None:
         """Pre-compile the jit buckets for the given (H, W) shapes.
@@ -974,8 +1052,12 @@ def _make_handler(service: EnhanceService):
             body = self.rfile.read(length)
             try:
                 # bf16/u16 responses also fetch device→host at 2 bytes/value
-                # (the d2h link is the latency on slow transports).
+                # (the d2h link is the latency on slow transports). u16
+                # takes the full passthrough: device-quantized uint16
+                # straight to the wire, denorm folded into the headers.
                 wire = encoding if encoding in ("bf16", "u16") else "f32"
+                if encoding == "u16" and not artifacts:
+                    wire = "u16_wire"
                 req_enc = self.headers.get("X-Cube-Encoding", "mat")
                 if (req_enc in ("u16", "bf16")
                         and service.accepts_encoded_requests):
@@ -1025,6 +1107,10 @@ def _make_handler(service: EnhanceService):
 
                     blob = zlib.compress(blob, 1)
                     extra["Content-Encoding"] = "deflate"
+            elif "S_wire" in result:
+                sw = result["S_wire"]
+                blob, extra = encode_cube_prequantized(
+                    sw["q"], sw["scale"], sw["offset"], compress)
             else:
                 blob, extra = encode_cube(
                     result["S"], encoding, compress,

@@ -582,6 +582,36 @@ def test_wire_encodings_roundtrip_and_shrink(server, service):
     assert "R_low" in mat and "data" in mat
 
 
+def test_u16_wire_passthrough_exact(server, service):
+    """The HTTP u16 response is the device-quantized cube passed straight to
+    the wire (r5): decoding the body with its affine headers reproduces the
+    device-side u16 values EXACTLY (zero re-quantization — the legacy host
+    dequant -> denorm -> re-quantize path moved up to 1 LSB), and the whole
+    thing stays within 1 device-LSB of the f32-wire response."""
+    from sshslie_tpu.serve import decode_cube_response
+
+    rng = np.random.RandomState(13)
+    cube = (rng.rand(24, 24, CHANNELS) * 4000).astype(np.float32)
+    resp, body = _post_mat(server, cube, query="?encoding=u16")
+    assert resp.status == 200, body
+    got = decode_cube_response(body, resp.headers)
+
+    # Server-side raw fetch on the same request -> identical q/scale/offset
+    # after folding the denorm affine (the passthrough contract).
+    res = service.enhance(cube, wire="u16_wire")
+    sw = res["S_wire"]
+    q_wire = np.frombuffer(body, "<u2").reshape(got.shape)
+    np.testing.assert_array_equal(q_wire, sw["q"])
+    assert float(resp.headers["X-Cube-Scale"]) == pytest.approx(
+        sw["scale"], rel=1e-8)
+    assert float(resp.headers["X-Cube-Offset"]) == pytest.approx(
+        sw["offset"], rel=1e-8, abs=1e-12)
+
+    ref = service.enhance(cube, wire="f32")["S"]
+    lsb = (float(ref.max()) - float(ref.min())) / 65000.0
+    np.testing.assert_allclose(got, ref, atol=max(lsb, 1e-5))
+
+
 def test_wire_encoding_bad_requests(server):
     rng = np.random.RandomState(8)
     cube = (rng.rand(16, 16, CHANNELS) * 4000).astype(np.float32)
