@@ -3,7 +3,7 @@
 Net-new capability (no counterpart in the reference, which serves fp32 only).
 Conv/dense kernels are quantized per-output-channel with symmetric scales and
 dequantized *inside* the jitted forward, so the parameters live in HBM at 1/4
-(int8/fp8) or 1/8 (int4 — XLA stores ``s4`` packed two-per-byte) the bytes and
+(int8/fp8) or 1/8 (int4 — packed two-per-``uint8`` byte) the bytes and
 XLA fuses the convert+scale into the conv's operand read. For this model the
 win is a capability/latency demo (params are <1 MB); the same code path is how
 a large conv stack would cut its HBM footprint and weight-load bandwidth on
@@ -14,12 +14,17 @@ Formats
   * ``fp8``:  w/s cast to ``float8_e4m3fn`` (TPU-native 8-bit float),
     s = amax/448 per out-channel (448 = e4m3 max normal).
   * ``int4``: q = round(w / s) ∈ [−7, 7], s = amax/7 per out-channel,
-    stored as ``jnp.int4`` (4-bit, device-packed). 8× weight compression;
-    measured quality in tests / ``scripts/quant_report.py`` — lossier than
-    int8 by construction (15 levels per channel), offered for the HBM-bound
-    regime where weight bytes, not accuracy headroom, are the constraint.
+    stored two-nibbles-per-``uint8`` byte (manual packing along the output
+    axis, unpacked in-graph with two shifts XLA fuses into the dequant).
+    8× weight compression; measured quality in tests /
+    ``scripts/quant_report.py`` — lossier than int8 by construction
+    (15 levels per channel), offered for the HBM-bound regime where weight
+    bytes, not accuracy headroom, are the constraint. NOT ``jnp.int4``:
+    an ``s4`` array as a jit operand crashes arg placement on the TPU
+    relay backend (RecursionError in device_put, r5) — the uint8 packing
+    is byte-identical in HBM and portable everywhere.
 
-Calibration (changes ONLY the stored scales — the packed-s4/int8 runtime
+Calibration (changes ONLY the stored scales — the packed-int4/int8 runtime
 path, checkpoints, and serving are untouched)
   * ``absmax``: s = amax/Qmax — zero clipping, maximum rounding step.
   * ``mse``: per-out-channel grid search over clip ratios r ∈ [0.30, 1.00];
@@ -118,6 +123,28 @@ def _resolve_calibration(fmt: str, calibration: str) -> str:
     return calibration
 
 
+def _pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+    """Pack int4 values (int8 in [−7, 7]) two-per-byte along the last axis.
+
+    Low nibble = even index, high nibble = odd; an odd last dim pads one
+    zero nibble (the unpacker recovers the true size from the node's scale
+    shape). uint8 so the dtype itself marks a packed node —
+    :func:`dequantize_array` dispatches on it."""
+    qu = jnp.asarray(q, jnp.int8).view(jnp.uint8) & 0xF
+    if qu.shape[-1] % 2:
+        qu = jnp.pad(qu, [(0, 0)] * (qu.ndim - 1) + [(0, 1)])
+    return qu[..., 0::2] | (qu[..., 1::2] << 4)
+
+
+def _unpack_int4(p: jnp.ndarray, cout: int) -> jnp.ndarray:
+    """Inverse of :func:`_pack_int4`; jit-traceable (two shifts + a sign
+    extension XLA fuses into the consuming dequant multiply)."""
+    lo = (p & 0xF).astype(jnp.int32)
+    hi = (p >> 4).astype(jnp.int32)
+    q = jnp.stack([(lo ^ 8) - 8, (hi ^ 8) - 8], axis=-1)
+    return q.reshape(*p.shape[:-1], p.shape[-1] * 2)[..., :cout]
+
+
 def quantize_array(
     w: jnp.ndarray, fmt: str = "int8", calibration: str = "auto"
 ) -> Dict[str, jnp.ndarray]:
@@ -138,14 +165,17 @@ def quantize_array(
     if fmt == "int8":
         q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
     elif fmt == "int4":
-        q = jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int4)
+        q = _pack_int4(jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int8))
     else:
         q = (w / scale).astype(jnp.float8_e4m3fn)
     return {_Q_KEY: np.int8(1), "q": q, "scale": scale.astype(jnp.float32)}
 
 
 def dequantize_array(node: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-    return node["q"].astype(jnp.float32) * node["scale"]
+    q = node["q"]
+    if q.dtype == jnp.uint8:  # packed int4; true cout lives in scale's shape
+        q = _unpack_int4(q, node["scale"].shape[-1])
+    return q.astype(jnp.float32) * node["scale"]
 
 
 def _is_qnode(node: Any) -> bool:
@@ -176,9 +206,9 @@ def quantize_tree(
         stats["bytes_fp32"] += nbytes
         if leaf.ndim >= 2 and leaf.size >= min_size:
             qn = quantize_array(leaf, fmt, calibration)
-            # Device bytes: int4 packs two values per byte (XLA s4 storage).
-            qbytes = (leaf.size + 1) // 2 if fmt == "int4" else leaf.size
-            stats["bytes_quant"] += qbytes + int(qn["scale"].size) * 4
+            # Device bytes: literal stored-q bytes (uint8-packed int4 is two
+            # values per byte; int8/fp8 one).
+            stats["bytes_quant"] += int(qn["q"].size) + int(qn["scale"].size) * 4
             stats["tensors_quantized"] += 1
             return qn
         stats["bytes_quant"] += nbytes
@@ -205,8 +235,9 @@ def _ratio_quantize(w: jnp.ndarray, fmt: str, ratio: float) -> Dict[str, jnp.nda
     if fmt == "fp8":
         q = (w / scale).astype(jnp.float8_e4m3fn)
     else:
-        q = jnp.clip(jnp.round(w / scale), -qmax, qmax).astype(
-            jnp.int8 if fmt == "int8" else jnp.int4)
+        q = jnp.clip(jnp.round(w / scale), -qmax, qmax).astype(jnp.int8)
+        if fmt == "int4":
+            q = _pack_int4(q)
     return {_Q_KEY: np.int8(1), "q": q, "scale": scale.astype(jnp.float32)}
 
 

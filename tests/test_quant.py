@@ -42,7 +42,10 @@ def test_quantize_array_fp8(rng):
 def test_quantize_array_int4_roundtrip_bound(rng):
     w = rng.randn(3, 3, 8, 16).astype(np.float32)
     node = quantize_array(jnp.asarray(w), "int4")
-    assert node["q"].dtype == jnp.int4
+    # Manual two-nibbles-per-uint8 packing (s4 jit operands crash arg
+    # placement on the TPU relay backend — quant.py module docstring, r5).
+    assert node["q"].dtype == jnp.uint8
+    assert node["q"].shape == (3, 3, 8, 8)
     back = np.asarray(dequantize_array(node))
     # per-out-channel symmetric int4: |err| ≤ scale/2 = amax/14
     amax = np.abs(w).max(axis=(0, 1, 2))
@@ -50,11 +53,21 @@ def test_quantize_array_int4_roundtrip_bound(rng):
     assert node["scale"].shape == (1, 1, 1, 16)
 
 
+def test_pack_int4_odd_and_negatives():
+    from sshslie_tpu.ops.quant import _pack_int4, _unpack_int4
+
+    q = jnp.asarray(np.arange(-7, 8, dtype=np.int8).reshape(3, 5))
+    p = _pack_int4(q)
+    assert p.dtype == jnp.uint8 and p.shape == (3, 3)  # 5 -> pad to 6 -> 3
+    np.testing.assert_array_equal(np.asarray(_unpack_int4(p, 5)),
+                                  np.asarray(q, np.int32))
+
+
 def test_quantize_tree_int4_byte_accounting():
     params = {"conv": {"kernel": jnp.ones((3, 3, 4, 8))}}
     _, stats = quantize_tree(params, "int4", min_size=64)
     n = 3 * 3 * 4 * 8
-    # packed s4: two values per byte, plus the fp32 per-out-channel scales
+    # packed int4 (uint8 nibbles): two values per byte, plus the fp32 per-out-channel scales
     assert stats["bytes_quant"] == (n + 1) // 2 + 8 * 4
     assert stats["bytes_fp32"] == n * 4
 
@@ -111,7 +124,7 @@ def test_quantized_inference_int4(small_model, rng):
     cubes = [(rng.rand(24, 24, 6) * 0.8).astype(np.float32) for _ in range(2)]
     report = quantization_impact(model, params, cubes, "int4")
     assert report["tensors_quantized"] > 10
-    # packed s4 → close to 8× on the kernel bytes (scales + fp32 biases eat in)
+    # packed int4 → close to 8× on the kernel bytes (scales + fp32 biases eat in)
     assert report["compression"] > 5.0
     # 15 quantization levels per channel: measurably lossy but usable
     assert report["psnr_vs_fp32_avg"] > 25.0, report
