@@ -97,9 +97,10 @@ def build_model(cfg: Config, channels: int) -> LowLightEnhanceNet:
         use_transformer=cfg.use_transformer,
         attention_impl=cfg.attention_impl,
         # 'auto' resolves to the XLA emitter: the Pallas kernels win
-        # per-op (dgrad 1.49x) but lose at step level to custom-call layout
-        # propagation — measured in docs/PERFORMANCE.md round-4. The knobs
-        # stay for narrower-graph uses and future Mosaic layout support.
+        # per-op (dgrad 1.49x) but lose at graph level to custom-call layout
+        # propagation — on the train step (r4) AND on inference-only graphs
+        # (r5 A/B: 0.90x full forward, docs/PERFORMANCE.md). The knobs stay
+        # as measured negatives pending Mosaic layout support.
         conv_impl=cfg.conv_impl if cfg.conv_impl in (
             "pallas", "pallas_dgrad") else "xla",
         remat=cfg.remat,
