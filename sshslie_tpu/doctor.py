@@ -129,7 +129,45 @@ def _check_split(cfg, rep: Report, name: str, path: str,
         rep.ok(f"{name} files",
                f"{len(store)} cube(s), shapes "
                f"{sorted({tuple(s) for s in shapes})}")
+    if name != "train":
+        _check_whole_cube_fit(cfg, rep, name, shapes)
     return store
+
+
+# Largest/smallest measured whole-cube f32 forward on a 16 GB chip
+# (scripts/max_cube_report.py, docs/PERFORMANCE.md "Single-chip max cube"):
+# 2560^2 x 64 = 1.6 GiB input runs; 2880^2 x 64 = 2.0 GiB compiles then
+# runtime-OOMs (arguments + outputs outgrow what XLA's compile-time
+# squeezer can schedule; bf16 does not help — the parity-pinned f32 casts
+# keep every full-res buffer at 4 B/px). The check keys on raw input bytes
+# because every measured activation/output term scales linearly with them.
+_MAX_CUBE_FITS_BYTES = 2560 * 2560 * 64 * 4
+_MAX_CUBE_OOM_BYTES = 2880 * 2880 * 64 * 4
+
+
+def _check_whole_cube_fit(cfg, rep: Report, name: str, shapes) -> None:
+    """Eval/test run the FULL cube through one jitted forward (the
+    reference's test design, model.py:406-443) — warn when a cube is past
+    the measured single-chip boundary. WARN, not FAIL: ``eval_sharded:
+    true`` splits the cube across chips, and the squeezer's exact limit is
+    configuration-dependent."""
+    big = max(shapes, key=lambda s: s[0] * s[1] * s[2])
+    nbytes = big[0] * big[1] * big[2] * 4
+    if nbytes <= _MAX_CUBE_FITS_BYTES or cfg.eval_sharded:
+        return
+    gib = nbytes / 2**30
+    if nbytes >= _MAX_CUBE_OOM_BYTES:
+        rep.warn(f"{name} cube fit",
+                 f"{big[0]}x{big[1]}x{big[2]} = {gib:.2f} GiB input: a "
+                 "2.0 GiB cube measured runtime-OOM on a 16 GB chip "
+                 "(docs/PERFORMANCE.md single-chip max cube) — set "
+                 "eval_sharded: true (eval_shard_mode band|spatial)")
+    else:
+        rep.warn(f"{name} cube fit",
+                 f"{big[0]}x{big[1]}x{big[2]} = {gib:.2f} GiB input is past "
+                 "the largest measured-fitting whole-cube size (1.6 GiB on "
+                 "a 16 GB chip) — may OOM at runtime; eval_sharded: true "
+                 "if it does")
 
 
 def _check_train_split(cfg, rep: Report, store) -> None:

@@ -118,3 +118,28 @@ def test_oversized_batch_fails(workspace):
     rep = run_doctor(_cfg(batch_size=64, phase="train"))
     assert _levels(rep)["batch size"] == "FAIL"
     assert rep.failed
+
+
+def test_whole_cube_fit_boundary(workspace):
+    """Eval/test cubes past the measured single-chip whole-cube boundary
+    (docs/PERFORMANCE.md "Single-chip max cube") WARN with the sharding fix;
+    shapes at or under 2560^2 x 64 (1.6 GiB, largest measured-fitting) are
+    silent; eval_sharded: true suppresses the warning entirely."""
+    from sshslie_tpu.doctor import Report, _check_whole_cube_fit
+
+    rep = Report()
+    _check_whole_cube_fit(_cfg(), rep, "test", [(2560, 2560, 64)])
+    assert rep.rows == []  # largest measured-fitting size: no warning
+
+    _check_whole_cube_fit(_cfg(), rep, "test", [(2700, 2700, 64)])
+    assert rep.rows[-1][0] == "WARN" and "may OOM" in rep.rows[-1][2]
+
+    _check_whole_cube_fit(_cfg(), rep, "test", [(2880, 2880, 64)])
+    assert rep.rows[-1][0] == "WARN"
+    assert "measured runtime-OOM" in rep.rows[-1][2]
+    assert "eval_sharded" in rep.rows[-1][2]
+
+    before = len(rep.rows)
+    _check_whole_cube_fit(_cfg(eval_sharded=True), rep, "test",
+                          [(2880, 2880, 64)])
+    assert len(rep.rows) == before  # sharded inference: cube is split
