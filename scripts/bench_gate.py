@@ -158,7 +158,9 @@ def main(argv=None) -> int:
         print(f"\nGATE FAILED: {', '.join(failures)}")
         return 1
     if args.archive:
-        with open(os.path.join(REPO, args.archive), "w") as f:
+        path = os.path.join(REPO, args.archive)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
             json.dump(current, f, indent=2)
         print(f"archived result -> {args.archive}")
     print("\nGATE PASSED")
